@@ -27,16 +27,24 @@ def _asdict(obj) -> dict:
 
 def _fromdict(cls, data: dict):
     """Build ``cls`` from a dict, backfilling defaults and recursing into
-    nested dataclass fields; unknown keys are ignored (forward compat)."""
+    nested dataclass fields; unknown keys are ignored (forward compat).
+
+    Field types are resolved via get_type_hints because postponed annotations
+    (PEP 563) make ``field.type`` a string.
+    """
+    import typing
+
+    hints = typing.get_type_hints(cls)
     kwargs = {}
     for f in dataclasses.fields(cls):
         if f.name not in data:
             continue
         val = data[f.name]
-        if dataclasses.is_dataclass(f.type) and isinstance(val, dict):
-            val = _fromdict(f.type, val)
-        elif isinstance(val, dict) and hasattr(f.type, "__dataclass_fields__"):
-            val = _fromdict(f.type, val)
+        ftype = hints.get(f.name, f.type)
+        if isinstance(val, dict) and dataclasses.is_dataclass(ftype):
+            val = _fromdict(ftype, val)
+        elif isinstance(val, list):
+            val = tuple(val)  # dataclass tuples serialize as JSON lists
         kwargs[f.name] = val
     return cls(**kwargs)
 
@@ -136,6 +144,10 @@ class ModelConfig(JsonConfigMixin):
     # Device-fused input pipeline
     image_size: int = 256
     compute_dtype: str = "float32"       # or "bfloat16" for the encoder path
+    # Cross-replica BN-stat sync for *unfrozen* BN. The reference
+    # (DataParallel) never syncs BN stats, so default False; True requires
+    # running the step under shard_map so the axis name is bound.
+    sync_bn: bool = False
 
     @property
     def img_feature_size(self) -> int:

@@ -74,9 +74,10 @@ class HandNet(nn.Module):
         dtype = jnp.dtype(cfg.compute_dtype)
         feat = cfg.img_feature_size
         make_resnet = {18: resnet18, 50: resnet50}[int(cfg.resnet_version)]
-        self.base_net = make_resnet(dtype=dtype, bn_axis_name="data")
+        bn_axis = "data" if cfg.sync_bn else None
+        self.base_net = make_resnet(dtype=dtype, bn_axis_name=bn_axis)
         if cfg.atlas.separate_encoder:
-            self.atlas_base_net = make_resnet(dtype=dtype, bn_axis_name="data")
+            self.atlas_base_net = make_resnet(dtype=dtype, bn_axis_name=bn_axis)
         if cfg.atlas.adapt_decoder:
             self.atlas_adapter = nn.Dense(feat, dtype=dtype)
         # The reference only instantiates this head lazily/buggily
@@ -124,8 +125,7 @@ class HandNet(nn.Module):
         no_loss: bool = False,
         return_features: bool = False,
         force_objects: bool = False,
-        edge_regul_lambda: Optional[float] = None,
-        lambda_laplacian: Optional[float] = None,
+        regul_scale=1.0,
     ) -> Tuple[Optional[jnp.ndarray], Dict, Dict]:
         cfg = self.cfg
         total_loss = None
@@ -289,8 +289,7 @@ class HandNet(nn.Module):
                         if self.laplacian is not None
                         else None
                     ),
-                    edge_regul_lambda=edge_regul_lambda,
-                    lambda_laplacian=lambda_laplacian,
+                    regul_scale=regul_scale,
                 )
                 total_loss = (
                     atlas_total if total_loss is None else total_loss + atlas_total

@@ -67,21 +67,17 @@ def compute_atlas_loss(
     has_center3d: bool,
     obj_faces,                      # static (F, 3) int array or None
     laplacian: Optional[jnp.ndarray],  # dense (V, V) or None
-    edge_regul_lambda: Optional[float] = None,
-    lambda_laplacian: Optional[float] = None,
+    regul_scale=1.0,
 ) -> Tuple[jnp.ndarray, Dict]:
     """AtlasLoss.compute_loss equivalent (reference: atlasbranch.py:199-287).
 
-    ``edge_regul_lambda`` / ``lambda_laplacian`` override the config values
-    so the training loop can decay them over epochs (decay_regul,
-    handnet.py:188-196) without recompiling — they are passed as python
-    floats, still static per decayed value; the loop folds the decay into
-    the weight it passes here.
+    ``regul_scale`` is a (possibly traced) multiplier on the edge/Laplacian
+    regularizer weights implementing the reference's per-epoch regul decay
+    (decay_regul, handnet.py:188-196) without recompilation: gating stays
+    static on the config weights, the decay factor is dynamic.
     """
-    if edge_regul_lambda is None:
-        edge_regul_lambda = cfg.lambda_regul_edges
-    if lambda_laplacian is None:
-        lambda_laplacian = cfg.lambda_laplacian
+    edge_regul_lambda = cfg.lambda_regul_edges
+    lambda_laplacian = cfg.lambda_laplacian
 
     losses: Dict = {}
     run_main = has_objpoints3d and (cfg.lambda_atlas or cfg.final_lambda_atlas)
@@ -130,11 +126,11 @@ def compute_atlas_loss(
     if obj_mesh is not None and edge_regul_lambda and obj_faces is not None:
         e_loss = edge_loss(obj_mesh, obj_faces)
         losses["atlas_edge_regul"] = e_loss
-        final = final + edge_regul_lambda * e_loss
+        final = final + edge_regul_lambda * regul_scale * e_loss
     if obj_mesh is not None and lambda_laplacian and laplacian is not None:
         l_loss = laplacian_loss(obj_mesh, laplacian)
         losses["atlas_laplac"] = l_loss
-        final = final + lambda_laplacian * l_loss
+        final = final + lambda_laplacian * regul_scale * l_loss
 
     if sym_loss is not None:
         losses["atlas_objpoints3d"] = sym_loss

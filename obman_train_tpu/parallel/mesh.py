@@ -1,0 +1,57 @@
+"""Device mesh + sharding helpers.
+
+The reference parallelizes with single-process ``torch.nn.DataParallel``
+(traineval.py:130-131): parameters broadcast, batch scattered, gradients
+reduced.  The TPU-native equivalent is one jit-compiled SPMD program over a
+1-D ``data`` mesh axis: the batch is sharded on its leading dimension,
+parameters/optimizer state are replicated, and XLA inserts the gradient
+all-reduce over ICI automatically.  Multi-host runs fall out of
+``jax.distributed.initialize`` + the same program.
+
+This model is a small CNN (no TP/PP need — SURVEY.md §5 "long-context":
+the large axes are batch and point counts, which fit on one chip), so the
+mesh is deliberately 1-D; the helpers still accept arbitrary shapes for
+forward-compatibility (e.g. ("data", "model")).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    shape: Optional[Tuple[int, ...]] = None,
+    axis_names: Sequence[str] = ("data",),
+    devices=None,
+) -> Mesh:
+    """Build a mesh over the available devices (default: all, 1-D data axis)."""
+    if devices is None:
+        devices = jax.devices()
+    if shape is None:
+        shape = (len(devices),) + (1,) * (len(axis_names) - 1)
+    n = int(np.prod(shape))
+    if n > len(devices):
+        raise ValueError(f"mesh shape {shape} needs {n} devices, have {len(devices)}")
+    dev_array = np.asarray(devices[:n]).reshape(shape)
+    return Mesh(dev_array, tuple(axis_names))
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Sharding for batch arrays: leading dim split over the data axis."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: dict, mesh: Mesh, axis: str = "data") -> dict:
+    """Device-put a host batch with the leading dim sharded over ``axis``."""
+    sharding = batch_sharding(mesh, axis)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), batch
+    )

@@ -1,0 +1,206 @@
+"""Optimizer construction and the jitted SPMD train/eval steps.
+
+Replaces the reference's single-process loop (traineval.py:113-127 optimizer
+setup, epochpass3d.py:80-91 forward/backward/step, DataParallel scatter):
+here one jit-compiled program takes a replicated TrainState and a
+data-sharded batch; XLA SPMD partitioning inserts the gradient all-reduce
+over ICI.  Frozen-BN training (the reference default, README.md:133 /
+netutils.py:4-19) corresponds to ``train_bn=False``: BN uses running stats
+and collects no updates while all other params still receive gradients.
+
+Parameter freezing (``--freeze_encoder`` etc., traineval.py:91-101) is done
+with optax.multi_transform: frozen subtrees get ``set_to_zero`` updates.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+
+from obman_train_tpu.config import TrainConfig
+from obman_train_tpu.models.handnet import BatchSpec, HandNet
+from obman_train_tpu.parallel.mesh import batch_sharding, replicated
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+    regul_scale: jnp.ndarray    # dynamic decay factor for edge/laplacian reguls
+
+
+def _freeze_labels(params, train_cfg: TrainConfig) -> Any:
+    """Label pytree: 'frozen' for subtrees disabled by the freeze flags."""
+    flat = flax.traverse_util.flatten_dict(params, sep="/")
+    labels = {}
+    for path in flat:
+        label = "trainable"
+        if train_cfg.freeze_encoder and path.startswith("base_net/"):
+            label = "frozen"
+        if train_cfg.atlas_freeze_encoder and path.startswith("atlas_base_net/"):
+            label = "frozen"
+        if train_cfg.atlas_freeze_decoder and path.startswith(
+            "atlas_branch/decoder/"
+        ):
+            label = "frozen"
+        labels[path] = label
+    return flax.traverse_util.unflatten_dict(labels, sep="/")
+
+
+def make_optimizer(
+    train_cfg: TrainConfig, params=None, steps_per_epoch: int = 1
+) -> optax.GradientTransformation:
+    """adam | rms | sgd with the reference's StepLR schedule
+    (traineval.py:113-127, 179-182: per-epoch staircase decay)."""
+    if train_cfg.lr_decay_gamma and train_cfg.lr_decay_gamma != 1.0:
+        schedule = optax.exponential_decay(
+            init_value=train_cfg.lr,
+            transition_steps=train_cfg.lr_decay_step * steps_per_epoch,
+            decay_rate=train_cfg.lr_decay_gamma,
+            staircase=True,
+        )
+    else:
+        schedule = train_cfg.lr
+
+    if train_cfg.optimizer == "adam":
+        tx = optax.adamw(schedule, weight_decay=train_cfg.weight_decay) \
+            if train_cfg.weight_decay else optax.adam(schedule)
+    elif train_cfg.optimizer == "rms":
+        tx = optax.rmsprop(schedule)
+        if train_cfg.weight_decay:
+            tx = optax.chain(optax.add_decayed_weights(train_cfg.weight_decay), tx)
+    elif train_cfg.optimizer == "sgd":
+        tx = optax.sgd(schedule, momentum=train_cfg.momentum)
+        if train_cfg.weight_decay:
+            tx = optax.chain(optax.add_decayed_weights(train_cfg.weight_decay), tx)
+    else:
+        raise ValueError(f"optimizer {train_cfg.optimizer} not in [adam|rms|sgd]")
+
+    any_freeze = (
+        train_cfg.freeze_encoder
+        or train_cfg.atlas_freeze_encoder
+        or train_cfg.atlas_freeze_decoder
+    )
+    if any_freeze:
+        assert params is not None, "params needed to build freeze labels"
+        tx = optax.multi_transform(
+            {"trainable": tx, "frozen": optax.set_to_zero()},
+            _freeze_labels(params, train_cfg),
+        )
+    return tx
+
+
+def create_train_state(
+    net: HandNet,
+    tx: optax.GradientTransformation,
+    sample_batch: Dict,
+    spec: BatchSpec,
+    seed: int = 0,
+) -> TrainState:
+    variables = net.init(
+        {
+            "params": jax.random.PRNGKey(seed),
+            "points": jax.random.PRNGKey(seed + 1),
+            "dropout": jax.random.PRNGKey(seed + 2),
+        },
+        sample_batch,
+        spec,
+    )
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        step=jnp.zeros((), jnp.int32),
+        regul_scale=jnp.ones((), jnp.float32),
+    )
+
+
+def make_train_step(
+    net: HandNet,
+    tx: optax.GradientTransformation,
+    spec: BatchSpec,
+    train_bn: bool = False,
+    mesh=None,
+    donate: bool = True,
+) -> Callable[[TrainState, Dict, jnp.ndarray], Tuple[TrainState, Dict]]:
+    """Build the jitted train step.  ``train_bn=False`` = frozen-BN recipe."""
+
+    def step_fn(state: TrainState, batch: Dict, rng: jnp.ndarray):
+        step_rng = jax.random.fold_in(rng, state.step)
+        dropout_rng, points_rng = jax.random.split(step_rng)
+
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            rngs = {"dropout": dropout_rng, "points": points_rng}
+            if train_bn:
+                (total, _results, losses), updated = net.apply(
+                    variables, batch, spec, train=True, rngs=rngs,
+                    regul_scale=state.regul_scale, mutable=["batch_stats"],
+                )
+                new_stats = updated["batch_stats"]
+            else:
+                total, _results, losses = net.apply(
+                    variables, batch, spec, train=False, rngs=rngs,
+                    regul_scale=state.regul_scale,
+                )
+                new_stats = state.batch_stats
+            return total, (losses, new_stats)
+
+        (_, (losses, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt,
+            step=state.step + 1,
+            regul_scale=state.regul_scale,
+        )
+        return new_state, losses
+
+    kwargs = {}
+    if donate:
+        kwargs["donate_argnums"] = (0,)
+    if mesh is not None:
+        rep = replicated(mesh)
+        data = batch_sharding(mesh)
+        kwargs["in_shardings"] = (rep, data, rep)
+        kwargs["out_shardings"] = (rep, rep)
+    return jax.jit(step_fn, **kwargs)
+
+
+def make_eval_step(
+    net: HandNet, spec: BatchSpec, mesh=None, no_loss: bool = False
+):
+    """Jitted eval step returning (losses, joints, verts, objpoints)."""
+
+    def eval_fn(state: TrainState, batch: Dict):
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        total, results, losses = net.apply(
+            variables, batch, spec, train=False, no_loss=no_loss,
+            rngs={"points": jax.random.PRNGKey(0)},
+        )
+        out = {
+            k: results[k]
+            for k in ("verts", "joints", "objpoints3d", "objtrans", "objscale",
+                      "joints2d", "center3d")
+            if k in results
+        }
+        return losses, out
+
+    kwargs = {}
+    if mesh is not None:
+        rep = replicated(mesh)
+        data = batch_sharding(mesh)
+        kwargs["in_shardings"] = (rep, data)
+        kwargs["out_shardings"] = (rep, data)
+    return jax.jit(eval_fn, **kwargs)

@@ -1,15 +1,22 @@
 """Test configuration: force JAX onto CPU with 8 virtual devices so sharding
-tests exercise a multi-chip mesh without TPU hardware (SURVEY.md §4 item 4)."""
+tests exercise a multi-chip mesh without TPU hardware (SURVEY.md §4 item 4).
+
+Note: this image's sitecustomize imports jax (axon TPU plugin registration)
+at interpreter startup, so env vars set here are too late for JAX_PLATFORMS;
+backends initialize lazily though, so jax.config.update still applies.
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

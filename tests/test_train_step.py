@@ -1,0 +1,113 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from obman_train_tpu.assets import synthetic_mano_assets
+from obman_train_tpu.config import ModelConfig, TrainConfig
+from obman_train_tpu.models import BatchSpec, build_handnet, mano_params_from_assets
+from obman_train_tpu.parallel import make_mesh, shard_batch
+from obman_train_tpu.train import (
+    create_train_state,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+)
+from tests.test_models import make_batch
+
+
+@pytest.fixture(scope="module")
+def net():
+    return build_handnet(
+        ModelConfig(),
+        mano_params_from_assets(synthetic_mano_assets("right")),
+        mano_params_from_assets(synthetic_mano_assets("left")),
+    )
+
+
+def test_train_step_decreases_loss(net, rng):
+    batch = make_batch(rng, B=4)
+    spec = BatchSpec()
+    tcfg = TrainConfig(lr=1e-3, lr_decay_gamma=1.0)
+    tx = make_optimizer(tcfg)
+    state = create_train_state(net, tx, batch, spec)
+    step = make_train_step(net, tx, spec, donate=False)
+    key = jax.random.PRNGKey(0)
+    _, losses0 = step(state, batch, key)
+    for _ in range(15):
+        state, losses = step(state, batch, key)
+    assert float(losses["total_loss"]) < float(losses0["total_loss"])
+    assert int(state.step) == 15
+
+
+def test_train_step_sharded_over_mesh(net, rng):
+    """8 virtual CPU devices, batch sharded over the data axis."""
+    mesh = make_mesh(axis_names=("data",))
+    assert mesh.devices.size == 8
+    batch = make_batch(rng, B=16)
+    spec = BatchSpec()
+    tx = make_optimizer(TrainConfig())
+    state = create_train_state(net, tx, batch, spec)
+    step = make_train_step(net, tx, spec, mesh=mesh, donate=False)
+    sharded = shard_batch(batch, mesh)
+    new_state, losses = step(state, sharded, jax.random.PRNGKey(0))
+    assert np.isfinite(float(losses["total_loss"]))
+    # params replicated: every device holds the same value
+    leaf = jax.tree_util.tree_leaves(new_state.params)[0]
+    assert len(leaf.sharding.device_set) == 8
+
+
+def test_sharded_matches_single_device(net, rng):
+    """The SPMD step computes the same result as the unsharded step."""
+    mesh = make_mesh(axis_names=("data",))
+    batch = make_batch(rng, B=8)
+    spec = BatchSpec()
+    tx = make_optimizer(TrainConfig())
+    state = create_train_state(net, tx, batch, spec)
+
+    step_single = make_train_step(net, tx, spec, donate=False)
+    s1, losses1 = step_single(state, batch, jax.random.PRNGKey(0))
+
+    step_mesh = make_train_step(net, tx, spec, mesh=mesh, donate=False)
+    s2, losses2 = step_mesh(state, shard_batch(batch, mesh), jax.random.PRNGKey(0))
+
+    np.testing.assert_allclose(
+        float(losses1["total_loss"]), float(losses2["total_loss"]), rtol=1e-4
+    )
+    p1 = jax.tree_util.tree_leaves(s1.params)[0]
+    p2 = jax.tree_util.tree_leaves(s2.params)[0]
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-5)
+
+
+def test_freeze_encoder(net, rng):
+    batch = make_batch(rng, B=2)
+    spec = BatchSpec()
+    tcfg = TrainConfig(freeze_encoder=True, lr=1e-2)
+    # params needed for labels -> two-phase init
+    tx0 = make_optimizer(TrainConfig())
+    state0 = create_train_state(net, tx0, batch, spec)
+    tx = make_optimizer(tcfg, params=state0.params)
+    state = state0._replace(opt_state=tx.init(state0.params))
+    step = make_train_step(net, tx, spec, donate=False)
+    new_state, _ = step(state, batch, jax.random.PRNGKey(0))
+    before = np.asarray(
+        jax.tree_util.tree_leaves(state.params["base_net"])[0]
+    )
+    after = np.asarray(
+        jax.tree_util.tree_leaves(new_state.params["base_net"])[0]
+    )
+    np.testing.assert_array_equal(before, after)
+    b_mano = jax.tree_util.tree_leaves(state.params["mano_branch"])[0]
+    a_mano = jax.tree_util.tree_leaves(new_state.params["mano_branch"])[0]
+    assert not np.allclose(np.asarray(b_mano), np.asarray(a_mano))
+
+
+def test_eval_step(net, rng):
+    batch = make_batch(rng, B=2)
+    spec = BatchSpec()
+    tx = make_optimizer(TrainConfig())
+    state = create_train_state(net, tx, batch, spec)
+    eval_step = make_eval_step(net, spec)
+    losses, out = eval_step(state, batch)
+    assert "joints" in out and out["joints"].shape == (2, 21, 3)
+    assert np.isfinite(float(losses["total_loss"]))
