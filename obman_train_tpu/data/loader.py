@@ -1,0 +1,161 @@
+"""Batching, prefetching, and round-robin concatenation.
+
+Replaces torch DataLoader workers + ConcatDataloader (traineval.py:223-230,
+mano_train/datautils.py:5-37): samples are numpy dicts produced by
+HandDataset; a thread pool overlaps augmentation with device compute (the
+GIL is mostly released inside numpy), batches are fixed-shape stacked
+arrays, and ConcatLoader cycles loaders round-robin injecting
+dataset/root/split metadata (root = "palm" for stereohands, else "wrist" —
+datautils.py:22-32).
+
+``to_model_batch`` converts a query-keyed sample batch into the static-key
+batch the model consumes ("images" NHWC float, "sides" int32 0=right/1=left)
+and ``derive_spec`` builds the matching static BatchSpec.
+"""
+
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from obman_train_tpu.data.queries import BaseQueries, TransQueries
+from obman_train_tpu.models.handnet import BatchSpec
+
+SIDE_TO_INT = {"right": 0, "left": 1}
+
+
+def collate(samples: Sequence[Dict]) -> Dict:
+    """Stack a list of sample dicts into fixed-shape arrays; string fields
+    (sides) stay lists, meta dicts stay lists."""
+    out: Dict = {}
+    for key in samples[0]:
+        vals = [s[key] for s in samples]
+        if isinstance(vals[0], np.ndarray):
+            out[key] = np.stack(vals)
+        else:
+            out[key] = vals
+    return out
+
+
+def to_model_batch(batch: Dict) -> Dict[str, np.ndarray]:
+    """Query-keyed collated batch -> model batch with plain string keys."""
+    mapping = {
+        TransQueries.images: "images",
+        TransQueries.joints3d: "joints3d",
+        TransQueries.verts3d: "verts3d",
+        TransQueries.joints2d: "joints2d",
+        TransQueries.objpoints3d: "objpoints3d",
+        TransQueries.camintrs: "camintrs",
+        TransQueries.center3d: "center3d",
+        BaseQueries.hand_pcas: "hand_pcas",
+    }
+    out = {}
+    for q, name in mapping.items():
+        if q in batch:
+            out[name] = np.asarray(batch[q], np.float32)
+    if BaseQueries.sides in batch:
+        out["sides"] = np.asarray(
+            [SIDE_TO_INT[s] for s in batch[BaseQueries.sides]], np.int32
+        )
+    return out
+
+
+def derive_spec(batch: Dict, root: str = "wrist") -> BatchSpec:
+    return BatchSpec(
+        has_joints3d="joints3d" in batch,
+        has_verts3d="verts3d" in batch,
+        has_joints2d="joints2d" in batch,
+        has_camintrs="camintrs" in batch,
+        has_objpoints3d="objpoints3d" in batch,
+        has_center3d="center3d" in batch,
+        has_pcas="hand_pcas" in batch,
+        has_sides="sides" in batch,
+        root=root,
+    )
+
+
+class BatchLoader:
+    """Shuffling, drop-last batch iterator with threaded prefetch."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        num_workers: int = 4,
+        seed: int = 0,
+        model_batch: bool = True,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(1, num_workers)
+        self.seed = seed
+        self.model_batch = model_batch
+        self._epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator[Dict]:
+        rng = np.random.default_rng(self.seed + self._epoch)
+        self._epoch += 1
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            rng.shuffle(order)
+        n_batches = len(self)
+        batches = [
+            order[i * self.batch_size : (i + 1) * self.batch_size]
+            for i in range(n_batches)
+        ]
+
+        def load(idxs):
+            samples = [self.dataset[int(i)] for i in idxs]
+            out = collate(samples)
+            return to_model_batch(out) if self.model_batch else out
+
+        from collections import deque
+
+        with ThreadPoolExecutor(self.num_workers) as pool:
+            # Keep a bounded window of in-flight batches (prefetch depth 2x).
+            window = self.num_workers * 2
+            futures = deque(pool.submit(load, b) for b in batches[:window])
+            next_submit = min(window, n_batches)
+            while futures:
+                yield futures.popleft().result()
+                if next_submit < n_batches:
+                    futures.append(pool.submit(load, batches[next_submit]))
+                    next_submit += 1
+
+
+class ConcatLoader:
+    """Round-robin over several loaders, injecting metadata
+    (reference: datautils.py:5-37; len = min-len * count)."""
+
+    def __init__(self, loaders: List, metas: Optional[List[Dict]] = None):
+        self.loaders = loaders
+        self.metas = metas or [{} for _ in loaders]
+
+    def __len__(self):
+        return min(len(ld) for ld in self.loaders) * len(self.loaders)
+
+    def __iter__(self):
+        iters = [iter(ld) for ld in self.loaders]
+        for _ in range(min(len(ld) for ld in self.loaders)):
+            for it, meta in zip(iters, self.metas):
+                batch = dict(next(it))
+                batch.update(meta)
+                yield batch
+
+
+def loader_meta(dat_name: str, split: str) -> Dict:
+    """dataset/root/split metadata injected per batch (datautils.py:22-32)."""
+    root = "palm" if dat_name in ("stereohands", "zimsynth") else "wrist"
+    return {"dataset": dat_name, "root": root, "split": split}

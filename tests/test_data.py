@@ -1,0 +1,180 @@
+import numpy as np
+import pytest
+
+from obman_train_tpu.data import (
+    BaseQueries,
+    BatchLoader,
+    ConcatLoader,
+    HandDataset,
+    SyntheticDataset,
+    TransQueries,
+    get_trans_queries,
+)
+from obman_train_tpu.data.loader import derive_spec, loader_meta, to_model_batch
+from obman_train_tpu.data import transforms as T
+
+
+def all_queries(ds):
+    return ds.all_queries
+
+
+def make_hand_dataset(train=True, **kw):
+    pose = SyntheticDataset(size=16)
+    defaults = dict(
+        queries=[
+            BaseQueries.sides,
+            TransQueries.images,
+            TransQueries.joints2d,
+            TransQueries.joints3d,
+            TransQueries.verts3d,
+            TransQueries.objpoints3d,
+            TransQueries.camintrs,
+            TransQueries.center3d,
+            TransQueries.affinetrans,
+        ],
+        train=train,
+        sides="both",
+    )
+    defaults.update(kw)
+    return HandDataset(pose, **defaults)
+
+
+def test_get_trans_queries():
+    base = [BaseQueries.images, BaseQueries.joints3d, BaseQueries.camintrs]
+    trans = get_trans_queries(base)
+    assert TransQueries.images in trans
+    assert TransQueries.joints3d in trans
+    assert TransQueries.center3d in trans
+    assert TransQueries.camintrs in trans
+    assert TransQueries.objpoints3d not in trans
+
+
+def test_sample_shapes_and_normalization():
+    ds = make_hand_dataset(train=False)
+    s = ds[0]
+    img = s[TransQueries.images]
+    assert img.shape == (256, 256, 3)
+    assert img.min() >= -0.5 - 1e-6 and img.max() <= 0.5 + 1e-6
+    assert s[TransQueries.joints3d].shape == (21, 3)
+    assert s[TransQueries.verts3d].shape == (778, 3)
+    assert s[TransQueries.objpoints3d].shape == (600, 3)
+    # centered on joint 9
+    np.testing.assert_allclose(s[TransQueries.joints3d][9], 0, atol=1e-4)
+
+
+def test_eval_mode_projection_consistency():
+    """Without augmentation, transformed joints2d must equal the pinhole
+    projection of (uncentered) joints3d under the transformed intrinsics."""
+    ds = make_hand_dataset(train=False)
+    s = ds.get_sample(3)
+    j3d = s[TransQueries.joints3d] + s[TransQueries.center3d]
+    proj = j3d @ s[TransQueries.camintrs].T
+    proj = proj[:, :2] / proj[:, 2:3]
+    # reference transform_coords rounds to int -> tolerance ~1px
+    np.testing.assert_allclose(proj, s[TransQueries.joints2d], atol=1.5)
+
+
+def test_train_rotation_equivariance():
+    """The rotation applied to 3D must match the 2D affine: reprojecting the
+    rotated joints3d with the post-rot intrinsics stays on the 2D joints."""
+    ds = make_hand_dataset(train=True)
+    s = ds.get_sample(5)
+    j3d = s[TransQueries.joints3d] + s[TransQueries.center3d]
+    proj = j3d @ s[TransQueries.camintrs].T
+    proj = proj[:, :2] / proj[:, 2:3]
+    np.testing.assert_allclose(proj, s[TransQueries.joints2d], atol=2.0)
+
+
+def test_side_flip():
+    ds_left = make_hand_dataset(train=False, sides="left")
+    ds_right = make_hand_dataset(train=False, sides="right")
+    s_l = ds_left.get_sample(1)
+    s_r = ds_right.get_sample(1)
+    # synthetic dataset emits left hands; "right" mode flips them
+    assert s_l[BaseQueries.sides] == "left"
+    assert s_r[BaseQueries.sides] == "right"
+    # x-coordinates mirrored in 3D
+    np.testing.assert_allclose(
+        s_r[TransQueries.joints3d][:, 1:],
+        s_l[TransQueries.joints3d][:, 1:],
+        atol=1e-4,
+    )
+
+
+def test_batch_loader_and_spec():
+    ds = make_hand_dataset(train=True)
+    loader = BatchLoader(ds, batch_size=4, num_workers=2, seed=0)
+    assert len(loader) == 4
+    batches = list(loader)
+    assert len(batches) == 4
+    b = batches[0]
+    assert b["images"].shape == (4, 256, 256, 3)
+    assert b["sides"].dtype == np.int32
+    spec = derive_spec(b)
+    assert spec.has_joints3d and spec.has_objpoints3d and spec.has_camintrs
+    # distinct epochs shuffle differently but keep fixed shapes
+    batches2 = list(loader)
+    assert len(batches2) == 4
+
+
+def test_concat_loader_round_robin():
+    ds = make_hand_dataset(train=False)
+    l1 = BatchLoader(ds, batch_size=4, num_workers=1, shuffle=False)
+    l2 = BatchLoader(ds, batch_size=4, num_workers=1, shuffle=False)
+    cat = ConcatLoader(
+        [l1, l2], metas=[loader_meta("obman", "train"), loader_meta("stereohands", "train")]
+    )
+    assert len(cat) == 8
+    roots = [b["root"] for b in cat]
+    assert roots[:4] == ["wrist", "palm", "wrist", "palm"]
+
+
+def test_affine_transform_invertibility(rng):
+    center = np.array([120.0, 130.0])
+    scale = 180.0
+    aff, post = T.get_affine_transform(center, scale, (256, 256), rot=0.4)
+    pts = rng.uniform(50, 200, (10, 2))
+    out = T.transform_coords(pts, aff)
+    back = T.transform_coords(out.astype(np.float64), aff, invert=True)
+    np.testing.assert_allclose(back, pts, atol=2.0)
+
+
+def test_transform_img_identity():
+    img = (np.arange(64 * 64 * 3).reshape(64, 64, 3) % 255).astype(np.uint8)
+    out = T.transform_img(img, np.eye(3), (64, 64))
+    np.testing.assert_allclose(out, img, atol=1e-3)
+
+
+def test_points_from_mesh_on_surface(rng):
+    from obman_train_tpu.assets import icosphere
+
+    verts, faces = icosphere(1)
+    pts = T.points_from_mesh(faces, verts, vertex_nb=500, rng=rng)
+    # sampled points lie within the unit sphere shell (chords are inside)
+    norms = np.linalg.norm(pts, axis=1)
+    assert norms.max() <= 1.0 + 1e-5
+    assert norms.min() > 0.8
+
+
+def test_color_jitter_bounds(rng):
+    img = rng.random((32, 32, 3)).astype(np.float32)
+    out = T.color_jitter(img, rng, brightness=0.5, contrast=0.5,
+                         saturation=0.5, hue=0.15)
+    assert out.min() >= 0 and out.max() <= 1
+
+
+def test_getitem_retries_on_error(monkeypatch):
+    ds = make_hand_dataset(train=False)
+    orig = ds.get_sample
+    calls = {"n": 0}
+
+    def flaky(idx, query=None, rng=None):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("boom")
+        return orig(idx, query, rng)
+
+    monkeypatch.setattr(ds, "get_sample", flaky)
+    s = ds[0]
+    assert TransQueries.images in s
+    assert calls["n"] == 2
