@@ -1,0 +1,361 @@
+"""Train/eval CLI — the ``traineval.py`` equivalent.
+
+Mirrors the reference's argparse surface (mano_train/options/datasetopts.py,
+nets3dopts.py, expopts.py + traineval.py:26-404) mapped onto the typed
+config; args are echoed and saved as ``opt.txt`` + ``opt.json`` beside the
+checkpoints (argutils.py:8-54 role).
+
+Run e.g.:
+  python -m obman_train_tpu.cli.traineval --train_datasets synthetic \
+      --val_datasets synthetic --epochs 2 --train_batch 8 --atlas_predict_trans
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="MANO training (TPU)")
+    # Dataset options (datasetopts.py)
+    d = p.add_argument_group("dataset")
+    d.add_argument("--train_datasets", nargs="+", default=["obman"])
+    d.add_argument("--train_splits", nargs="+", default=["train"])
+    d.add_argument("--val_datasets", nargs="+", default=["obman"])
+    d.add_argument("--val_splits", nargs="+", default=["val"])
+    d.add_argument("--sides", default="left", choices=["left", "right", "both"])
+    d.add_argument("--mini_factor", type=float, default=None)
+    d.add_argument("--mode", default="all", choices=["all", "obj", "hand"])
+    d.add_argument("--override_scale", action="store_true")
+    d.add_argument("--center_idx", type=int, default=9)
+    d.add_argument("--atlas_points_nb", type=int, default=600)
+    d.add_argument("--controlled_exp", action="store_true")
+    d.add_argument("--controlled_size", type=int, default=100000)
+    d.add_argument("--workers", type=int, default=8)
+    d.add_argument("--fhbhands_split_type", default="actions")
+    d.add_argument("--fhbhands_split_choice", default="1")
+    d.add_argument("--fhbhands_topology", default=None)
+    d.add_argument("--synthetic_size", type=int, default=256)
+    d.add_argument("--obman_root", default="datasymlinks/obman")
+    d.add_argument("--shapenet_root", default="datasymlinks/ShapeNetCore.v2")
+
+    # Model/loss options (nets3dopts.py)
+    n = p.add_argument_group("network")
+    n.add_argument("--resnet_version", type=int, default=18, choices=[18, 50])
+    n.add_argument("--mano_use_shape", action="store_true")
+    n.add_argument("--mano_use_pca", action="store_true", default=True)
+    n.add_argument("--no_mano_use_pca", dest="mano_use_pca", action="store_false")
+    n.add_argument("--mano_comps", type=int, default=30)
+    n.add_argument("--mano_adapt_skeleton", action="store_true")
+    n.add_argument("--hidden_neurons", nargs="+", type=int, default=[1024, 256])
+    n.add_argument("--mano_lambda_joints3d", type=float, default=0.167)
+    n.add_argument("--mano_lambda_joints2d", type=float, default=0)
+    n.add_argument("--mano_lambda_verts", type=float, default=0.167)
+    n.add_argument("--mano_lambda_shape", type=float, default=0.167)
+    n.add_argument("--mano_lambda_pca", type=float, default=0.167)
+    n.add_argument("--mano_lambda_pose_reg", type=float, default=0)
+    n.add_argument("--absolute_lambda", type=float, default=0)
+    n.add_argument("--fc_dropout", type=float, default=0)
+    n.add_argument("--atlas_lambda", type=float, default=0.167)
+    n.add_argument("--atlas_final_lambda", type=float, default=0.167)
+    n.add_argument("--atlas_loss", default="chamfer", choices=["chamfer"])
+    n.add_argument("--atlas_mesh", dest="atlas_mesh", action="store_true",
+                   default=True)
+    n.add_argument("--no_atlas_mesh", dest="atlas_mesh", action="store_false")
+    n.add_argument("--atlas_residual", action="store_true")
+    n.add_argument("--atlas_lambda_regul_edges", type=float, default=0.167)
+    n.add_argument("--atlas_lambda_laplacian", type=float, default=0)
+    n.add_argument("--atlas_predict_trans", action="store_true")
+    n.add_argument("--atlas_predict_scale", action="store_true")
+    n.add_argument("--atlas_trans_weight", type=float, default=0.167)
+    n.add_argument("--atlas_scale_weight", type=float, default=0.167)
+    n.add_argument("--atlas_ico_divisions", type=int, default=3)
+    n.add_argument("--atlas_separate_encoder", action="store_true")
+    n.add_argument("--contact_target", default="all",
+                   choices=["all", "obj", "hand"])
+    n.add_argument("--contact_zones", default="zones",
+                   choices=["all", "tips", "zones"])
+    n.add_argument("--contact_lambda", type=float, default=0)
+    n.add_argument("--contact_thresh", type=float, default=10)
+    n.add_argument("--contact_mode", default="dist_tanh",
+                   choices=["dist_sq", "dist", "dist_tanh"])
+    n.add_argument("--collision_lambda", type=float, default=0)
+    n.add_argument("--collision_thresh", type=float, default=20)
+    n.add_argument("--collision_mode", default="dist_tanh",
+                   choices=["dist_sq", "dist", "dist_tanh"])
+    n.add_argument("--regul_decay_gamma", type=float, default=1)
+    n.add_argument("--regul_decay_step", type=int, default=300)
+
+    # Training options
+    t = p.add_argument_group("training")
+    t.add_argument("--epochs", type=int, default=30)
+    t.add_argument("--train_batch", type=int, default=32)
+    t.add_argument("--test_batch", type=int, default=32)
+    t.add_argument("--optimizer", default="adam", choices=["rms", "adam", "sgd"])
+    t.add_argument("--lr", type=float, default=1e-4)
+    t.add_argument("--momentum", type=float, default=0.9)
+    t.add_argument("--weight_decay", type=float, default=0)
+    t.add_argument("--lr_decay_step", type=int, default=300)
+    t.add_argument("--lr_decay_gamma", type=float, default=0.5)
+    t.add_argument("--freeze_batchnorm", action="store_true", default=True)
+    t.add_argument("--no_freeze_batchnorm", dest="freeze_batchnorm",
+                   action="store_false")
+    t.add_argument("--freeze_encoder", action="store_true")
+    t.add_argument("--atlas_freeze_encoder", action="store_true")
+    t.add_argument("--atlas_freeze_decoder", action="store_true")
+    t.add_argument("--manual_seed", type=int, default=0)
+    t.add_argument("--compute_dtype", default="float32",
+                   choices=["float32", "bfloat16"])
+
+    # Experiment options (expopts.py)
+    e = p.add_argument_group("experiment")
+    e.add_argument("--exp_id", default="checkpoints/debug")
+    e.add_argument("--evaluate", action="store_true")
+    e.add_argument("--save_results", action="store_true")
+    e.add_argument("--resume", nargs="+", default=None)
+    e.add_argument("--snapshot", type=int, default=5)
+    e.add_argument("--mano_assets", default="misc/mano",
+                   help="dir with MANO_{LEFT,RIGHT}.{pkl,npz}; 'synthetic' "
+                        "uses the test-only synthetic MANO model")
+    e.add_argument("--debug", action="store_true")
+    return p
+
+
+def args_to_config(args):
+    from obman_train_tpu.config import (
+        AtlasConfig,
+        ContactConfig,
+        DataConfig,
+        ExperimentConfig,
+        ManoConfig,
+        ModelConfig,
+        TrainConfig,
+    )
+
+    def opt(v):  # 0 -> disabled -> None (reference None/0 lambda semantics)
+        return v if v else None
+
+    model = ModelConfig(
+        resnet_version=args.resnet_version,
+        fc_dropout=args.fc_dropout,
+        absolute_lambda=opt(args.absolute_lambda),
+        compute_dtype=args.compute_dtype,
+        mano=ManoConfig(
+            ncomps=args.mano_comps,
+            base_neurons=tuple(args.hidden_neurons),
+            center_idx=args.center_idx,
+            use_shape=args.mano_use_shape,
+            use_pca=args.mano_use_pca,
+            adapt_skeleton=args.mano_adapt_skeleton,
+            lambda_verts=opt(args.mano_lambda_verts),
+            lambda_joints3d=opt(args.mano_lambda_joints3d),
+            lambda_joints2d=opt(args.mano_lambda_joints2d),
+            lambda_shape=opt(args.mano_lambda_shape),
+            lambda_pose_reg=args.mano_lambda_pose_reg,
+            lambda_pca=opt(args.mano_lambda_pca),
+        ),
+        atlas=AtlasConfig(
+            use_residual=args.atlas_residual,
+            points_nb=args.atlas_points_nb,
+            ico_divisions=args.atlas_ico_divisions,
+            predict_trans=args.atlas_predict_trans,
+            predict_scale=args.atlas_predict_scale,
+            separate_encoder=args.atlas_separate_encoder,
+            mesh=args.atlas_mesh,
+            lambda_atlas=opt(args.atlas_lambda),
+            final_lambda_atlas=opt(args.atlas_final_lambda),
+            trans_weight=args.atlas_trans_weight,
+            scale_weight=args.atlas_scale_weight,
+            lambda_regul_edges=args.atlas_lambda_regul_edges,
+            lambda_laplacian=args.atlas_lambda_laplacian,
+        ),
+        contact=ContactConfig(
+            contact_lambda=args.contact_lambda,
+            contact_thresh=args.contact_thresh,
+            contact_mode=args.contact_mode,
+            contact_target=args.contact_target,
+            contact_zones=args.contact_zones,
+            collision_lambda=args.collision_lambda,
+            collision_thresh=args.collision_thresh,
+            collision_mode=args.collision_mode,
+        ),
+    )
+    train = TrainConfig(
+        optimizer=args.optimizer,
+        lr=args.lr,
+        momentum=args.momentum,
+        weight_decay=args.weight_decay,
+        epochs=args.epochs,
+        train_batch=args.train_batch,
+        test_batch=args.test_batch,
+        lr_decay_step=args.lr_decay_step,
+        lr_decay_gamma=args.lr_decay_gamma,
+        regul_decay_step=args.regul_decay_step,
+        regul_decay_gamma=args.regul_decay_gamma,
+        freeze_batchnorm=args.freeze_batchnorm,
+        freeze_encoder=args.freeze_encoder,
+        atlas_freeze_encoder=args.atlas_freeze_encoder,
+        atlas_freeze_decoder=args.atlas_freeze_decoder,
+        manual_seed=args.manual_seed,
+        snapshot=args.snapshot,
+    )
+    data = DataConfig(
+        train_datasets=tuple(args.train_datasets),
+        train_splits=tuple(args.train_splits),
+        val_datasets=tuple(args.val_datasets),
+        val_splits=tuple(args.val_splits),
+        sides=args.sides,
+        mini_factor=args.mini_factor,
+        point_nb=args.atlas_points_nb,
+        center_idx=args.center_idx,
+        mode=args.mode,
+        override_scale=args.override_scale,
+        workers=args.workers,
+    )
+    return ExperimentConfig(
+        exp_id=args.exp_id,
+        model=model,
+        train=train,
+        data=data,
+        evaluate=args.evaluate,
+        save_results=args.save_results,
+        mano_assets=args.mano_assets,
+    )
+
+
+def load_mano_pair(mano_assets_dir: str):
+    from obman_train_tpu.models import mano_params_from_assets
+
+    if mano_assets_dir == "synthetic":
+        from obman_train_tpu.assets import synthetic_mano_assets
+
+        return (
+            mano_params_from_assets(synthetic_mano_assets("right")),
+            mano_params_from_assets(synthetic_mano_assets("left")),
+        )
+    from obman_train_tpu.assets import load_mano_assets
+
+    return (
+        mano_params_from_assets(load_mano_assets(mano_assets_dir, "right")),
+        mano_params_from_assets(load_mano_assets(mano_assets_dir, "left")),
+    )
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    cfg = args_to_config(args)
+
+    import jax
+
+    from obman_train_tpu.data.factory import get_dataset
+    from obman_train_tpu.data.loader import (
+        BatchLoader,
+        ConcatLoader,
+        derive_spec,
+        loader_meta,
+    )
+    from obman_train_tpu.models import build_handnet
+    from obman_train_tpu.parallel import make_mesh
+    from obman_train_tpu.train import (
+        create_train_state,
+        make_optimizer,
+    )
+    from obman_train_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+    from obman_train_tpu.train.loop import fit, _to_device
+
+    os.makedirs(cfg.exp_id, exist_ok=True)
+    with open(os.path.join(cfg.exp_id, "opt.txt"), "a") as f:
+        f.write(" ".join(sys.argv) + "\n")
+    cfg.to_json(os.path.join(cfg.exp_id, "opt.json"))
+    print(f"Devices: {jax.devices()}")
+
+    net = build_handnet(cfg.model, *load_mano_pair(cfg.mano_assets))
+    meta = {
+        "mode": cfg.data.mode,
+        "override_scale": cfg.data.override_scale,
+        "size": args.synthetic_size,
+        "obman_root": args.obman_root,
+        "shapenet_root": args.shapenet_root,
+        "fhbhands_split_type": args.fhbhands_split_type,
+        "fhbhands_split_choice": args.fhbhands_split_choice,
+        "fhbhands_topology": args.fhbhands_topology,
+    }
+
+    def make_loaders(names, splits, train_it, batch_size):
+        loaders, metas = [], []
+        limit = (
+            int(args.controlled_size / len(names))
+            if args.controlled_exp
+            else None
+        )
+        for name, split in zip(names, splits):
+            ds = get_dataset(
+                name, split=split, meta=meta, sides=cfg.data.sides,
+                train_it=train_it, mini_factor=cfg.data.mini_factor,
+                point_nb=cfg.data.point_nb, center_idx=cfg.data.center_idx,
+                limit_size=limit,
+            )
+            print(f"{name}/{split}: {len(ds)} samples")
+            loaders.append(
+                BatchLoader(
+                    ds, batch_size=batch_size, shuffle=train_it,
+                    drop_last=True, num_workers=cfg.data.workers,
+                    seed=cfg.train.manual_seed,
+                )
+            )
+            metas.append(loader_meta(name, split))
+        return ConcatLoader(loaders, metas)
+
+    train_loader = None
+    if not cfg.evaluate:
+        train_loader = make_loaders(
+            cfg.data.train_datasets, cfg.data.train_splits, True,
+            cfg.train.train_batch,
+        )
+    val_loader = make_loaders(
+        cfg.data.val_datasets, cfg.data.val_splits, False, cfg.train.test_batch
+    )
+
+    # Mesh over all local devices (1-D data axis)
+    mesh = make_mesh() if len(jax.devices()) > 1 else None
+
+    first = next(iter(val_loader))
+    spec = derive_spec(first, root=first.get("root", "wrist"))
+    batch0 = _to_device(first)
+    steps_per_epoch = len(train_loader) if train_loader else 1
+    tx = make_optimizer(cfg.train, steps_per_epoch=steps_per_epoch)
+    state = create_train_state(net, tx, batch0, spec, seed=cfg.train.manual_seed)
+
+    start_epoch = 0
+    if args.resume:
+        if len(args.resume) == 1:
+            state, start_epoch = load_checkpoint(args.resume[0], state)
+            print(f"Resumed from epoch {start_epoch}")
+        else:
+            from obman_train_tpu.train.checkpoint import (
+                load_checkpoints_averaged,
+            )
+
+            if not cfg.evaluate:
+                raise ValueError(
+                    "Multiple checkpoint resume only works in evaluate mode"
+                )
+            state, start_epoch = load_checkpoints_averaged(args.resume, state)
+
+    if cfg.evaluate:
+        cfg = cfg.replace(train=cfg.train.replace(epochs=start_epoch + 1))
+
+    state, metrics = fit(
+        cfg, net, state, tx, train_loader, val_loader,
+        mesh=mesh, start_epoch=start_epoch,
+    )
+    if cfg.evaluate:
+        print("Eval metrics:", {k: round(float(v), 4) for k, v in metrics.items()})
+    print("All done !")
+    return state, metrics
+
+
+if __name__ == "__main__":
+    main()

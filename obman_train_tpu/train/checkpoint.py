@@ -62,14 +62,26 @@ def save_checkpoint(
 def load_checkpoint(
     path: str, state_template: Any
 ) -> Tuple[Any, int]:
-    """Restore a checkpoint; ``path`` may be an exp dir or a checkpoint dir."""
+    """Restore a checkpoint; ``path`` may be an exp dir or a checkpoint dir.
+
+    Restore targets take the template's shardings, so a checkpoint written
+    under one mesh restores cleanly onto another (e.g. 8-device training ->
+    single-chip eval)."""
     path = os.path.abspath(path)
     if os.path.isdir(os.path.join(path, "checkpoint")):
         path = os.path.join(path, "checkpoint")
+    template = {"state": state_template, "epoch": np.asarray(0)}
+
+    def _restore_arg(x):
+        if hasattr(x, "sharding"):
+            return ocp.ArrayRestoreArgs(
+                sharding=x.sharding, global_shape=x.shape, dtype=x.dtype
+            )
+        return ocp.RestoreArgs()
+
+    restore_args = jax.tree_util.tree_map(_restore_arg, template)
     payload = _ckptr().restore(
-        path,
-        restore_args=None,
-        item={"state": state_template, "epoch": np.asarray(0)},
+        path, item=template, restore_args=restore_args
     )
     return payload["state"], int(payload["epoch"])
 

