@@ -85,7 +85,7 @@ def make_pose_dataset(dat_name: str, split: str, meta: dict, mini_factor=None):
 
         return Core50(split=split, root=meta.get("core50_root", "datasymlinks/core50"))
     if dat_name == "yanademo":
-        from obman_train_tpu.data.yanademo import YanaDemo
+        from obman_train_tpu.data.core50 import YanaDemo
 
         return YanaDemo(root=meta.get("yana_root", "datasymlinks/yanademo"))
     raise ValueError(f"Unrecognized dataset name {dat_name}")

@@ -1,0 +1,135 @@
+"""Demo inference wrapper: checkpoint reload + fused single/dual-frame
+forward.
+
+Replaces the reference's ``reload_model`` + ``forward_pass_3d``
+(mano_train/netscripts/reload.py:35-111, image_demo.py:20-32).  Branch
+gating is static config, so no dummy GT tensors are needed to switch
+branches on (the reference passes ones() joints/objpoints to trigger them).
+The dual flipped/unflipped evaluation of image_demo runs as ONE jitted batch
+of 2 (SURVEY.md §7.11).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+from obman_train_tpu.config import ExperimentConfig
+from obman_train_tpu.models.handnet import BatchSpec
+
+
+class DemoModel:
+    def __init__(
+        self,
+        exp_dir: Optional[str] = None,
+        config: Optional[ExperimentConfig] = None,
+        mano_assets: Optional[str] = None,
+        image_size: int = 256,
+    ):
+        import jax
+
+        from obman_train_tpu.cli.traineval import load_mano_pair
+        from obman_train_tpu.models import build_handnet
+        from obman_train_tpu.train import create_train_state, make_optimizer
+
+        if config is None:
+            assert exp_dir is not None
+            config = ExperimentConfig.from_json(os.path.join(exp_dir, "opt.json"))
+        self.cfg = config
+        self.image_size = image_size
+        mano_dir = mano_assets or config.mano_assets
+        net = build_handnet(config.model, *load_mano_pair(mano_dir))
+        self.net = net
+        self.spec = BatchSpec(
+            has_joints3d=False, has_verts3d=False, has_joints2d=False,
+            has_camintrs=False, has_objpoints3d=False, has_center3d=False,
+        )
+        dummy = {
+            "images": np.zeros((2, image_size, image_size, 3), np.float32),
+            "sides": np.zeros((2,), np.int32),
+        }
+        tx = make_optimizer(config.train)
+        # force_objects traces the atlas branch so its params exist even
+        # though no object GT is present at inference time.
+        self.state = create_train_state(
+            net, tx, dummy, self.spec, no_loss=True, force_objects=True,
+            force_hand=True
+        )
+        if exp_dir is not None and os.path.isdir(
+            os.path.join(exp_dir, "checkpoint")
+        ):
+            from obman_train_tpu.train.checkpoint import load_checkpoint
+
+            self.state, self.epoch = load_checkpoint(exp_dir, self.state)
+        else:
+            self.epoch = 0
+
+        variables = {
+            "params": self.state.params,
+            "batch_stats": self.state.batch_stats,
+        }
+
+        @jax.jit
+        def infer(variables, frames_u8, sides, flip):
+            from obman_train_tpu.ops.image import preprocess_frames
+
+            images = preprocess_frames(
+                frames_u8.astype(np.float32) * 1.0, size=image_size, flip=flip
+            )
+            _, results, _ = net.apply(
+                variables,
+                {"images": images, "sides": sides},
+                self.spec,
+                no_loss=True,
+                force_objects=True,
+                force_hand=True,
+            )
+            keep = (
+                "verts", "joints", "objpoints3d", "objtrans", "objscale",
+            )
+            return {k: results[k] for k in keep if k in results}
+
+        self._infer = infer
+        self._variables = variables
+        self.hand_faces = np.asarray(
+            # faces are shared by both sides' assets in our loader
+            _load_faces(mano_dir)
+        )
+        self.obj_faces = net.ico_faces
+
+    def predict(
+        self, frame: np.ndarray, hand_side: str = "left", flip: bool = False
+    ):
+        """Single frame (H, W, 3) uint8 -> results dict (batch dim 1)."""
+        import jax.numpy as jnp
+
+        frames = jnp.asarray(frame[None])
+        sides = jnp.asarray([0 if hand_side == "right" else 1], np.int32)
+        out = self._infer(
+            self._variables, frames, sides, jnp.asarray([flip])
+        )
+        return {k: np.asarray(v) for k, v in out.items()}
+
+    def predict_dual(self, frame: np.ndarray, hand_side: str = "left"):
+        """The image_demo path: original + horizontally flipped frame in one
+        batch of 2 (flipped input treated as the opposite side)."""
+        import jax.numpy as jnp
+
+        side_idx = 0 if hand_side == "right" else 1
+        frames = jnp.asarray(np.stack([frame, frame]))
+        sides = jnp.asarray([side_idx, 1 - side_idx], np.int32)
+        flips = jnp.asarray([False, True])
+        out = self._infer(self._variables, frames, sides, flips)
+        return {k: np.asarray(v) for k, v in out.items()}
+
+
+def _load_faces(mano_dir: str):
+    if mano_dir == "synthetic":
+        from obman_train_tpu.assets import synthetic_mano_assets
+
+        return synthetic_mano_assets("right").faces
+    from obman_train_tpu.assets import load_mano_assets
+
+    return load_mano_assets(mano_dir, "right").faces

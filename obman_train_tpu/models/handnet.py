@@ -125,6 +125,7 @@ class HandNet(nn.Module):
         no_loss: bool = False,
         return_features: bool = False,
         force_objects: bool = False,
+        force_hand: bool = False,
         regul_scale=1.0,
     ) -> Tuple[Optional[jnp.ndarray], Dict, Dict]:
         cfg = self.cfg
@@ -169,11 +170,14 @@ class HandNet(nn.Module):
 
         # ----- MANO branch (handnet.py:253-309) -----
         mano_results = None
+        # force_hand replaces the reference demos' dummy-GT trick
+        # (image_demo.py:20-32) for GT-free inference.
         run_mano = (
             (
                 spec.has_joints3d
                 or spec.has_verts3d
                 or (spec.has_joints2d and spec.has_camintrs)
+                or force_hand
             )
             and spec.has_sides
             and cfg.mano_lambdas

@@ -101,6 +101,7 @@ def create_train_state(
     sample_batch: Dict,
     spec: BatchSpec,
     seed: int = 0,
+    **init_kwargs,
 ) -> TrainState:
     variables = net.init(
         {
@@ -110,6 +111,7 @@ def create_train_state(
         },
         sample_batch,
         spec,
+        **init_kwargs,
     )
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
