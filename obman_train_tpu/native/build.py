@@ -1,0 +1,64 @@
+"""Lazy g++ build + ctypes loader for the native components.
+
+The reference leaned on external native binaries (pybullet, the V-HACD
+executable); this framework ships its own C++ sources and compiles them
+on first use (cached by source hash), loaded through ctypes — no pybind11
+needed.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+from typing import Optional
+
+_DIR = os.path.dirname(__file__)
+_LIB_DIR = os.path.join(_DIR, "lib")
+
+
+def _build(src_name: str, lib_base: str) -> str:
+    src = os.path.join(_DIR, src_name)
+    with open(src, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    os.makedirs(_LIB_DIR, exist_ok=True)
+    lib_path = os.path.join(_LIB_DIR, f"{lib_base}_{digest}.so")
+    if not os.path.exists(lib_path):
+        cmd = [
+            "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+            "-march=native", src, "-o", lib_path,
+        ]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, text=True)
+        except subprocess.CalledProcessError as e:
+            raise RuntimeError(
+                f"native build failed: {' '.join(cmd)}\n{e.stderr}"
+            ) from e
+    return lib_path
+
+
+_physics_lib: Optional[ctypes.CDLL] = None
+
+
+def load_physics_lib() -> Optional[ctypes.CDLL]:
+    """Compile+load the physics library; returns None if no toolchain."""
+    global _physics_lib
+    if _physics_lib is not None:
+        return _physics_lib
+    try:
+        lib = ctypes.CDLL(_build("physics.cpp", "libobman_physics"))
+    except (RuntimeError, OSError):
+        return None
+    c_dp = ctypes.POINTER(ctypes.c_double)
+    c_ip = ctypes.POINTER(ctypes.c_int32)
+    lib.run_grasp_simulation.argtypes = [
+        c_dp, ctypes.c_int, c_ip, ctypes.c_int,
+        c_dp, ctypes.c_int,
+        ctypes.c_double, ctypes.c_int, ctypes.c_int,
+        ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        c_dp, c_dp,
+    ]
+    lib.run_grasp_simulation.restype = ctypes.c_int
+    _physics_lib = lib
+    return lib

@@ -1,0 +1,125 @@
+import numpy as np
+import pytest
+
+from obman_train_tpu.assets import icosphere
+
+
+def make_bowl(radius=0.05, n=2):
+    """Static open 'bowl': lower hemisphere of an icosphere (concave up)."""
+    verts, faces = icosphere(n)
+    verts = verts * radius
+    # keep faces whose centroid is in the lower half (y up corresponds to
+    # gravity +y pulling down in our convention? gravity is +9.8 on y, so
+    # "down" is +y; build the bowl opening toward -y)
+    centroids = verts[faces].mean(1)
+    keep = centroids[:, 1] > 0
+    return verts, faces[keep]
+
+
+def test_native_lib_builds():
+    from obman_train_tpu.native import load_physics_lib
+
+    lib = load_physics_lib()
+    assert lib is not None, "g++ toolchain expected in this image"
+
+
+def test_free_fall_displacement():
+    """Object far from the hand mesh falls freely: d = g t^2 / 2."""
+    from obman_train_tpu.simulation.simulate import (
+        DT,
+        GRAVITY_Y,
+        N_STEPS,
+        run_simulation,
+    )
+
+    hand_verts, hand_faces = icosphere(1)
+    hand_verts = hand_verts * 10.0  # mm; tiny and far away
+    obj_verts, _ = icosphere(1)
+    obj_verts = obj_verts * 20.0 + np.array([500.0, 0, 0])  # mm, 0.5 m away
+    dist = run_simulation(hand_verts, hand_faces, obj_verts)
+    t = DT * N_STEPS
+    expected = 0.5 * GRAVITY_Y * t**2
+    assert dist == pytest.approx(expected, rel=0.15)
+
+
+def test_supported_object_stays():
+    """An object resting inside a bowl barely moves; without the bowl it
+    falls — the stability metric separates the two."""
+    from obman_train_tpu.simulation.simulate import run_simulation
+
+    bowl_verts, bowl_faces = make_bowl(radius=0.08)
+    bowl_mm = bowl_verts * 1000.0
+    obj_verts, _ = icosphere(1)
+    # ball of radius 30mm sitting at the bowl center (bowl radius 80mm,
+    # opening toward -y, gravity pulls +y)
+    ball_mm = obj_verts * 30.0 + np.array([0.0, 40.0, 0.0])
+    d_support = run_simulation(bowl_mm, bowl_faces, ball_mm)
+
+    far_hand = bowl_mm + np.array([1000.0, 0, 0])
+    d_free = run_simulation(far_hand, bowl_faces, ball_mm)
+    assert d_free > 5 * max(d_support, 1e-4)
+    assert d_support < 0.03  # stays within 3 cm
+
+
+def test_full_simul_pipeline(tmp_path):
+    """End-to-end: batch pickle -> full_simul -> results.json."""
+    import json
+    import pickle
+
+    from obman_train_tpu.simulation import full_simul
+
+    rng = np.random.default_rng(0)
+    overts, _ = icosphere(3)
+    results = {
+        "verts": rng.normal(0, 30, (2, 778, 3)).astype(np.float32)
+        + np.array([500, 0, 0], np.float32),
+        "objpoints3d": (overts * 30).astype(np.float32)[None].repeat(2, 0),
+    }
+    payload = {"batch": {}, "results": results, "root": "wrist"}
+    with open(tmp_path / "batch_000000.pkl", "wb") as f:
+        pickle.dump(payload, f)
+    summary = full_simul(str(tmp_path), workers=1)
+    assert summary["sample_nb"] == 2
+    assert summary["mean_dist"] > 0
+    with open(tmp_path / "simulation_results" / "results.json") as f:
+        data = json.load(f)
+    assert len(data["per_sample"]) == 2
+
+
+def test_intersect_vox():
+    from obman_train_tpu.simulation.intersect import intersect_vox
+
+    verts, faces = icosphere(2)
+    a = verts * 0.05  # 5 cm sphere
+    # identical spheres -> volume ~ 4/3 pi r^3
+    vol = intersect_vox(a, faces, a.copy(), faces, pitch=0.01)
+    expected = 4 / 3 * np.pi * 0.05**3
+    assert vol == pytest.approx(expected, rel=0.35)
+    # disjoint spheres -> 0
+    b = a + np.array([1.0, 0, 0])
+    assert intersect_vox(a, faces, b, faces, pitch=0.01) == 0.0
+
+
+def test_max_penetration_depth():
+    from obman_train_tpu.simulation.savemano import max_penetration_depth
+
+    overts, ofaces = icosphere(2)
+    obj = overts * 50.0  # 50mm sphere
+    inside_pts = np.array([[0.0, 0, 0], [10.0, 0, 0]])
+    outside_pts = np.array([[200.0, 0, 0]])
+    hand = np.concatenate([inside_pts, outside_pts])
+    depth = max_penetration_depth(hand, obj, ofaces)
+    # deepest interior point is the center: distance to surface ~= 50mm
+    assert depth == pytest.approx(50.0, rel=0.1)
+
+
+def test_save_obj_roundtrip(tmp_path):
+    from obman_train_tpu.data.transforms import fast_load_obj
+    from obman_train_tpu.simulation.savemano import save_obj
+
+    verts, faces = icosphere(1)
+    p = str(tmp_path / "m.obj")
+    save_obj(p, verts, faces)
+    mesh = fast_load_obj(p)[0]
+    np.testing.assert_allclose(mesh["vertices"], verts, atol=1e-6)
+    np.testing.assert_array_equal(mesh["faces"], faces)
