@@ -53,17 +53,40 @@ def chamfer_min_sqdist(x: jnp.ndarray, y: jnp.ndarray):
     )
 
 
-def chamfer_loss(preds: jnp.ndarray, gts: jnp.ndarray):
+# Above this many pairwise entries the tiled Pallas kernel wins on TPU
+# (measured on v5e: ~2x at 4k x 4k, ~6x at 16k x 16k; slower below ~1M).
+_PALLAS_PAIRS_THRESHOLD = 4_000_000
+
+
+def _use_pallas(n_pairs: int, use_pallas) -> bool:
+    if use_pallas in (True, False):
+        return use_pallas
+    return (
+        n_pairs >= _PALLAS_PAIRS_THRESHOLD
+        and jax.default_backend() == "tpu"
+    )
+
+
+def chamfer_loss(preds: jnp.ndarray, gts: jnp.ndarray, use_pallas="auto"):
     """Reference ChamferLoss.forward semantics (atlasutils.py:11-18).
 
     Args:
       preds: (B, N, 3) predicted points.
       gts:   (B, M, 3) target points.
+      use_pallas: True/False/"auto" — "auto" switches to the tiled Pallas
+        kernel for large point counts on TPU (no O(N*M) HBM footprint).
     Returns:
       (loss_1, loss_2): per-example means of, respectively, the per-pred
       min squared distance to gts and the per-gt min squared distance to
       preds — both (B,).
     """
+    if _use_pallas(preds.shape[1] * gts.shape[1], use_pallas):
+        from obman_train_tpu.ops.pallas.chamfer_kernel import (
+            pallas_chamfer_min_sqdist,
+        )
+
+        min_gt2pred, min_pred2gt = pallas_chamfer_min_sqdist(gts, preds)
+        return jnp.mean(min_pred2gt, axis=1), jnp.mean(min_gt2pred, axis=1)
     d = batch_pairwise_sqdist(gts, preds)  # (B, M, N): P[b, i, j] = |gt_i - pred_j|^2
     loss_1 = jnp.mean(jnp.min(d, axis=1), axis=1)  # per-pred mins
     loss_2 = jnp.mean(jnp.min(d, axis=2), axis=1)  # per-gt mins
