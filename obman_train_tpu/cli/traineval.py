@@ -85,6 +85,7 @@ def build_parser() -> argparse.ArgumentParser:
     n.add_argument("--collision_thresh", type=float, default=20)
     n.add_argument("--collision_mode", default="dist_tanh",
                    choices=["dist_sq", "dist", "dist_tanh"])
+    n.add_argument("--contact_sym", action="store_true")
     n.add_argument("--regul_decay_gamma", type=float, default=1)
     n.add_argument("--regul_decay_step", type=int, default=300)
 
@@ -180,6 +181,7 @@ def args_to_config(args):
             collision_lambda=args.collision_lambda,
             collision_thresh=args.collision_thresh,
             collision_mode=args.collision_mode,
+            contact_sym=args.contact_sym,
         ),
     )
     train = TrainConfig(

@@ -138,16 +138,19 @@ class ManoBranch(nn.Module):
             else None
         )
 
+        # The MANO layer always runs in f32 regardless of the encoder's
+        # compute dtype — mm-level parity needs full precision.
         kw = dict(
-            betas=shape,
-            trans=trans,
+            betas=None if shape is None else shape.astype(jnp.float32),
+            trans=None if trans is None else trans.astype(jnp.float32),
             use_pca=self.use_pca,
             ncomps=self.ncomps,
             center_idx=self.center_idx,
             root_palm=root_palm,
         )
-        verts_r, joints_r = mano_forward(self.mano_right, mano_pose, **kw)
-        verts_l, joints_l = mano_forward(self.mano_left, mano_pose, **kw)
+        mano_pose32 = mano_pose.astype(jnp.float32)
+        verts_r, joints_r = mano_forward(self.mano_right, mano_pose32, **kw)
+        verts_l, joints_l = mano_forward(self.mano_left, mano_pose32, **kw)
 
         if self.adapt_skeleton:
             # Per-side learned 21x21 joint mixing, init=identity

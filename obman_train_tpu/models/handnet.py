@@ -127,6 +127,7 @@ class HandNet(nn.Module):
         force_objects: bool = False,
         force_hand: bool = False,
         regul_scale=1.0,
+        feature_probe: Optional[jnp.ndarray] = None,
     ) -> Tuple[Optional[jnp.ndarray], Dict, Dict]:
         cfg = self.cfg
         total_loss = None
@@ -136,6 +137,11 @@ class HandNet(nn.Module):
         image = batch["images"]
         features, _ = self.base_net(image, train=train)
         features = features.astype(jnp.float32)
+        if feature_probe is not None:
+            # Zero-valued probe for per-loss feature-gradient inspection
+            # (the inspect_weights mode, epochpass3d.py:92-108): gradients
+            # w.r.t. the probe equal gradients w.r.t. the features.
+            features = features + feature_probe
         if cfg.atlas.separate_encoder:
             atlas_infeatures, _ = self.atlas_base_net(image, train=train)
             atlas_infeatures = atlas_infeatures.astype(jnp.float32)

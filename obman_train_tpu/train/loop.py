@@ -55,6 +55,7 @@ class StepCache:
             self._train[spec] = make_train_step(
                 self.net, self.tx, spec, train_bn=self.train_bn,
                 mesh=self.mesh, donate=False,
+                return_joints=spec.has_joints3d,
             )
         return self._train[spec]
 
@@ -104,8 +105,13 @@ def epoch_pass(
         spec = derive_spec(device_batch, root=root)
 
         if train:
-            state, losses = steps.train_step(spec)(state, device_batch, rng)
-            results = None
+            out = steps.train_step(spec)(state, device_batch, rng)
+            if len(out) == 3:
+                state, losses, joints = out
+                results = {"joints": joints} if joints is not None else None
+            else:
+                state, losses = out
+                results = None
         else:
             losses, results = steps.eval_step(spec)(state, device_batch)
 
@@ -118,13 +124,13 @@ def epoch_pass(
             if v > 1e5 and key == "total_loss":
                 print(f"loss explosion? {key}={v} at batch {batch_idx}")
 
-        if not train and results is not None and "joints" in results:
+        if results is not None and "joints" in results:
             if "joints3d" in device_batch:
                 evaluator.feed(
                     np.asarray(device_batch["joints3d"])[:, EVAL_JOINT_IDXS],
                     np.asarray(results["joints"])[:, EVAL_JOINT_IDXS],
                 )
-            if save_results_dir is not None:
+            if not train and save_results_dir is not None:
                 os.makedirs(save_results_dir, exist_ok=True)
                 payload = {
                     "batch": {
@@ -151,18 +157,17 @@ def epoch_pass(
             monitor_cb(batch_idx, avg_meters, time_meters)
 
     pck_info = {}
-    if not train:
-        epe_mean, _, epe_median, auc, pck_curve, thresholds = (
-            evaluator.get_measures(0, 50, 20)
-        )
-        if np.isfinite(auc):
-            pck_info = {
-                "auc": auc,
-                "epe_mean": epe_mean,
-                "epe_median": epe_median,
-                "pck_curve": pck_curve,
-                "thres": thresholds,
-            }
+    epe_mean, _, epe_median, auc, pck_curve, thresholds = (
+        evaluator.get_measures(0, 50, 20)
+    )
+    if np.isfinite(auc):
+        pck_info = {
+            "auc": auc,
+            "epe_mean": epe_mean,
+            "epe_median": epe_median,
+            "pck_curve": pck_curve,
+            "thres": thresholds,
+        }
     return state, avg_meters, pck_info
 
 
@@ -187,11 +192,15 @@ def fit(
 
     for epoch in range(start_epoch, cfg.train.epochs):
         if not cfg.evaluate:
-            state, train_meters, _ = epoch_pass(
+            state, train_meters, train_pck = epoch_pass(
                 train_loader, net, state, steps, epoch,
                 train=True, rng_seed=cfg.train.manual_seed + epoch,
             )
-            monitor.log_train(epoch + 1, train_meters.averages())
+            train_dict = train_meters.averages()
+            for k in ("auc", "epe_mean", "epe_median"):
+                if k in train_pck:
+                    train_dict[k] = train_pck[k]
+            monitor.log_train(epoch + 1, train_dict)
 
         save_dir = None
         if cfg.save_results:

@@ -131,8 +131,15 @@ def make_train_step(
     train_bn: bool = False,
     mesh=None,
     donate: bool = True,
+    return_joints: bool = False,
 ) -> Callable[[TrainState, Dict, jnp.ndarray], Tuple[TrainState, Dict]]:
-    """Build the jitted train step.  ``train_bn=False`` = frozen-BN recipe."""
+    """Build the jitted train step.  ``train_bn=False`` = frozen-BN recipe.
+
+    ``return_joints=True`` additionally returns predicted joints so the
+    epoch engine can feed the PCK evaluator during training as the
+    reference does (epochpass3d.py:141-151); the step then returns
+    ``(state, losses, joints)``.
+    """
 
     def step_fn(state: TrainState, batch: Dict, rng: jnp.ndarray):
         step_rng = jax.random.fold_in(rng, state.step)
@@ -142,20 +149,21 @@ def make_train_step(
             variables = {"params": params, "batch_stats": state.batch_stats}
             rngs = {"dropout": dropout_rng, "points": points_rng}
             if train_bn:
-                (total, _results, losses), updated = net.apply(
+                (total, results, losses), updated = net.apply(
                     variables, batch, spec, train=True, rngs=rngs,
                     regul_scale=state.regul_scale, mutable=["batch_stats"],
                 )
                 new_stats = updated["batch_stats"]
             else:
-                total, _results, losses = net.apply(
+                total, results, losses = net.apply(
                     variables, batch, spec, train=False, rngs=rngs,
                     regul_scale=state.regul_scale,
                 )
                 new_stats = state.batch_stats
-            return total, (losses, new_stats)
+            joints = results.get("joints") if return_joints else None
+            return total, (losses, new_stats, joints)
 
-        (_, (losses, new_stats)), grads = jax.value_and_grad(
+        (_, (losses, new_stats, joints)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
@@ -167,6 +175,8 @@ def make_train_step(
             step=state.step + 1,
             regul_scale=state.regul_scale,
         )
+        if return_joints:
+            return new_state, losses, joints
         return new_state, losses
 
     kwargs = {}
@@ -176,7 +186,10 @@ def make_train_step(
         rep = replicated(mesh)
         data = batch_sharding(mesh)
         kwargs["in_shardings"] = (rep, data, rep)
-        kwargs["out_shardings"] = (rep, rep)
+        if return_joints:
+            kwargs["out_shardings"] = (rep, rep, data)
+        else:
+            kwargs["out_shardings"] = (rep, rep)
     return jax.jit(step_fn, **kwargs)
 
 
