@@ -116,7 +116,13 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--evaluate", action="store_true")
     e.add_argument("--save_results", action="store_true")
     e.add_argument("--resume", nargs="+", default=None)
+    e.add_argument("--atlas_resume", default=None,
+                   help="checkpoint whose base_net seeds atlas_base_net "
+                        "(reference --atlas_resume, modelio.py:47-55)")
     e.add_argument("--snapshot", type=int, default=5)
+    e.add_argument("--profile_dir", default=None,
+                   help="write a JAX profiler trace of the first train "
+                        "epoch to this directory")
     e.add_argument("--mano_assets", default="misc/mano",
                    help="dir with MANO_{LEFT,RIGHT}.{pkl,npz}; 'synthetic' "
                         "uses the test-only synthetic MANO model")
@@ -331,6 +337,24 @@ def main(argv=None):
     state = create_train_state(net, tx, batch0, spec, seed=cfg.train.manual_seed)
 
     start_epoch = 0
+    if args.atlas_resume:
+        if args.resume:
+            raise NotImplementedError(
+                "resume and atlas_resume incompatible for now"
+            )
+        from obman_train_tpu.train.checkpoint import load_checkpoint_lax
+
+        loaded, start_epoch = load_checkpoint_lax(args.atlas_resume, state)
+        # Seed the separate object encoder from the loaded image encoder
+        # (reference modelio.py:47-55 base_net.* -> atlas_base_net.* remap).
+        params = dict(loaded.params)
+        stats = dict(loaded.batch_stats)
+        if "atlas_base_net" in state.params:
+            params["atlas_base_net"] = params["base_net"]
+            if "base_net" in stats:
+                stats["atlas_base_net"] = stats["base_net"]
+        state = state._replace(params=params, batch_stats=stats)
+        print(f"Loaded ATLAS checkpoint from epoch {start_epoch}")
     if args.resume:
         if len(args.resume) == 1:
             state, start_epoch = load_checkpoint(args.resume[0], state)

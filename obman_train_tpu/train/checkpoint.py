@@ -86,6 +86,49 @@ def load_checkpoint(
     return payload["state"], int(payload["epoch"])
 
 
+def load_checkpoint_lax(path: str, state_template: Any) -> Tuple[Any, int]:
+    """Non-strict restore: load whatever the checkpoint contains (raw
+    structure) and merge leaves whose paths+shapes match the template —
+    the reference's strict->non-strict fallback (reload.py:103-110) and
+    the basis for --atlas_resume's partial seeding."""
+    import flax
+
+    path = os.path.abspath(path)
+    if os.path.isdir(os.path.join(path, "checkpoint")):
+        path = os.path.join(path, "checkpoint")
+    raw = _ckptr().restore(path)  # checkpoint's own structure, numpy leaves
+    raw_state = raw.get("state", raw)
+    epoch = int(np.asarray(raw.get("epoch", 0)))
+
+    template_dict = (
+        state_template._asdict()
+        if hasattr(state_template, "_asdict")
+        else state_template
+    )
+    flat_t = flax.traverse_util.flatten_dict(template_dict, sep="/")
+    flat_r = flax.traverse_util.flatten_dict(raw_state, sep="/")
+    merged = {}
+    skipped = []
+    for k, v in flat_t.items():
+        # orbax may restore namedtuples as dicts with stringified int keys
+        if k in flat_r and getattr(flat_r[k], "shape", None) == getattr(
+            v, "shape", None
+        ):
+            merged[k] = jax.device_put(
+                flat_r[k], getattr(v, "sharding", None)
+            )
+        else:
+            merged[k] = v
+            skipped.append(k)
+    if skipped:
+        print(f"load_checkpoint_lax: kept {len(skipped)} template leaves "
+              f"(first: {skipped[:3]})")
+    out = flax.traverse_util.unflatten_dict(merged, sep="/")
+    if hasattr(state_template, "_asdict"):
+        out = type(state_template)(**out)
+    return out, epoch
+
+
 def load_config(exp_dir: str) -> ExperimentConfig:
     return ExperimentConfig.from_json(os.path.join(exp_dir, CONFIG_NAME))
 
