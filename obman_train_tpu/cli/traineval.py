@@ -373,10 +373,19 @@ def main(argv=None):
     if cfg.evaluate:
         cfg = cfg.replace(train=cfg.train.replace(epochs=start_epoch + 1))
 
-    state, metrics = fit(
-        cfg, net, state, tx, train_loader, val_loader,
-        mesh=mesh, start_epoch=start_epoch,
-    )
+    if args.profile_dir:
+        # JAX profiler trace (replaces the reference's wall-clock meters +
+        # commented-out line_profiler hooks, SURVEY.md §5 tracing).
+        with jax.profiler.trace(args.profile_dir):
+            state, metrics = fit(
+                cfg, net, state, tx, train_loader, val_loader,
+                mesh=mesh, start_epoch=start_epoch,
+            )
+    else:
+        state, metrics = fit(
+            cfg, net, state, tx, train_loader, val_loader,
+            mesh=mesh, start_epoch=start_epoch,
+        )
     if cfg.evaluate:
         print("Eval metrics:", {k: round(float(v), 4) for k, v in metrics.items()})
     print("All done !")
