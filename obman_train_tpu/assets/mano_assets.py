@@ -157,19 +157,35 @@ def load_mano_pkl(path: str, side: str) -> ManoAssets:
     ).validate()
 
 
-def load_mano_assets(mano_root: str, side: str) -> ManoAssets:
-    """Load one side from ``mano_root``, preferring a cached ``.npz``."""
+def load_mano_assets(
+    mano_root: str, side: str, fix_left_shapedirs: bool = False
+) -> ManoAssets:
+    """Load one side from ``mano_root``, preferring a cached ``.npz``.
+
+    ``fix_left_shapedirs`` applies the known MANO_LEFT data fix (the
+    official left-hand pkl ships un-mirrored x shape blendshapes; newer
+    manopth versions negate shapedirs[:, 0]).  Default False to match the
+    historical behaviour the reference was trained with.
+    """
     base = f"MANO_{side.upper()}"
     npz = os.path.join(mano_root, base + ".npz")
     if os.path.exists(npz):
-        return ManoAssets.load_npz(npz)
-    pkl = os.path.join(mano_root, base + ".pkl")
-    if os.path.exists(pkl):
-        return load_mano_pkl(pkl, side)
-    raise FileNotFoundError(
-        f"No MANO assets for side={side} under {mano_root} "
-        f"(expected {base}.npz or {base}.pkl)"
-    )
+        assets = ManoAssets.load_npz(npz)
+    else:
+        pkl = os.path.join(mano_root, base + ".pkl")
+        if not os.path.exists(pkl):
+            raise FileNotFoundError(
+                f"No MANO assets for side={side} under {mano_root} "
+                f"(expected {base}.npz or {base}.pkl)"
+            )
+        assets = load_mano_pkl(pkl, side)
+    if fix_left_shapedirs and side == "left":
+        shapedirs = assets.shapedirs.copy()
+        shapedirs[:, 0, :] *= -1
+        import dataclasses
+
+        assets = dataclasses.replace(assets, shapedirs=shapedirs)
+    return assets
 
 
 def synthetic_mano_assets(side: str = "right", seed: int = 0) -> ManoAssets:

@@ -30,6 +30,24 @@ from obman_train_tpu.ops.chamfer import batch_pairwise_sqdist
 from obman_train_tpu.ops.inside import batch_mesh_contains_points
 
 
+def thres_loss(vals: jnp.ndarray, thres: float = 25.0) -> jnp.ndarray:
+    """Mean of values below a threshold (reference: contactloss.py:82-89)."""
+    return masked_mean_loss(vals, vals < thres)
+
+
+def compute_naive_contact_loss(
+    points_1: jnp.ndarray, points_2: jnp.ndarray, contact_threshold: float = 25.0
+) -> jnp.ndarray:
+    """Symmetric thresholded nearest-neighbor loss
+    (reference: contactloss.py:92-99)."""
+    dists = batch_pairwise_sqdist(points_1, points_2)
+    mins12 = jnp.min(dists, axis=1)
+    mins21 = jnp.min(dists, axis=2)
+    loss_1 = thres_loss(mins12, contact_threshold)
+    loss_2 = thres_loss(mins21, contact_threshold)
+    return jnp.mean((loss_1 + loss_2) / 2)
+
+
 def masked_mean_loss(vals: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     """Mean of ``vals`` over ``mask``; 0 when the mask is empty
     (reference: contactloss.py:50-57)."""
