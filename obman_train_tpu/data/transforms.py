@@ -100,12 +100,21 @@ def transform_img(
     affine_trans: np.ndarray,
     res: Tuple[int, int],
     resample: str = "bilinear",
+    use_native: bool = True,
 ) -> np.ndarray:
     """Warp ``img`` (H, W, C) float or uint8 so that output pixel (x, y)
     samples input at ``affine_trans^-1 @ (x, y, 1)`` — the same inverse
     mapping PIL's Image.transform(AFFINE) applies (handutils.py:48-60).
-    Out-of-bounds samples are black."""
+    Out-of-bounds samples are black.
+
+    When available the warp runs in the first-party C++ kernel
+    (native/imageproc.cpp, ~an order of magnitude faster than the numpy
+    gather path and GIL-releasing so loader threads scale)."""
     inv = np.linalg.inv(affine_trans)
+    if resample == "bilinear" and use_native:
+        out = _native_warp(img, inv, res)
+        if out is not None:
+            return out
     H_out, W_out = int(res[0]), int(res[1])
     ys, xs = np.meshgrid(
         np.arange(H_out, dtype=np.float64),
@@ -147,6 +156,33 @@ def transform_img(
     if np.issubdtype(np.asarray(img).dtype, np.integer):
         out = np.clip(out, 0, 255)
     return out
+
+
+def _native_warp(img, inv, res):
+    """C++ bilinear warp; returns None when the native lib is unavailable."""
+    import ctypes
+
+    from obman_train_tpu.native.build import load_imageproc_lib
+
+    lib = load_imageproc_lib()
+    if lib is None:
+        return None
+    img_f = np.ascontiguousarray(img, np.float32)
+    squeeze = img_f.ndim == 2
+    if squeeze:
+        img_f = img_f[:, :, None]
+    H, W, C = img_f.shape
+    out = np.empty((int(res[0]), int(res[1]), C), np.float32)
+    inv_c = np.ascontiguousarray(inv, np.float64)
+    lib.warp_affine_f32(
+        img_f.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), H, W, C,
+        inv_c.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        int(res[0]), int(res[1]),
+    )
+    if np.issubdtype(np.asarray(img).dtype, np.integer):
+        out = np.clip(out, 0, 255)
+    return out[:, :, 0] if squeeze else out
 
 
 # ---------------------------------------------------------------------------

@@ -38,6 +38,29 @@ def _build(src_name: str, lib_base: str) -> str:
     return lib_path
 
 
+_imageproc_lib: Optional[ctypes.CDLL] = None
+
+
+def load_imageproc_lib() -> Optional[ctypes.CDLL]:
+    """Compile+load the image-warp library; None if no toolchain."""
+    global _imageproc_lib
+    if _imageproc_lib is not None:
+        return _imageproc_lib
+    try:
+        lib = ctypes.CDLL(_build("imageproc.cpp", "libobman_imageproc"))
+    except (RuntimeError, OSError):
+        return None
+    lib.warp_affine_f32.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+    ]
+    lib.warp_affine_f32.restype = None
+    _imageproc_lib = lib
+    return lib
+
+
 _physics_lib: Optional[ctypes.CDLL] = None
 
 

@@ -178,3 +178,19 @@ def test_getitem_retries_on_error(monkeypatch):
     s = ds[0]
     assert TransQueries.images in s
     assert calls["n"] == 2
+
+
+def test_native_warp_parity(rng):
+    """C++ warp must match the numpy warp bit-for-bit-ish."""
+    from obman_train_tpu.native.build import load_imageproc_lib
+
+    if load_imageproc_lib() is None:
+        import pytest
+
+        pytest.skip("no native toolchain")
+    img = rng.integers(0, 255, (120, 90, 3)).astype(np.uint8)
+    aff, _ = T.get_affine_transform(np.array([50.0, 60.0]), 80.0, (64, 64),
+                                    rot=-0.7)
+    a = T.transform_img(img, aff, (64, 64), use_native=True)
+    b = T.transform_img(img, aff, (64, 64), use_native=False)
+    np.testing.assert_allclose(a, b, atol=1e-3)
