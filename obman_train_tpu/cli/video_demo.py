@@ -90,7 +90,21 @@ def main(argv=None):
             jnp.zeros((len(stack),), bool),
         )
         out = {k: np.asarray(v) for k, v in out.items()}
+        att = None
+        if args.attention:
+            from obman_train_tpu.demo.attention import attention_overlay
+            from obman_train_tpu.demo.preprocess import preprocess_frame
+
+            att = model.attention_maps(stack)
         for i, name in enumerate(names):
+            if att is not None:
+                small = preprocess_frame(frames[i], model.image_size)
+                blended = attention_overlay(small, att[i])
+                from PIL import Image
+
+                Image.fromarray(blended).save(
+                    os.path.join(args.out_dir, f"{name}_attention.png")
+                )
             np.savez(
                 os.path.join(args.out_dir, f"{name}.npz"),
                 verts=out["verts"][i], joints=out["joints"][i],

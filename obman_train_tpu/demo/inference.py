@@ -91,7 +91,37 @@ class DemoModel:
             )
             return {k: results[k] for k in keep if k in results}
 
+        # Standalone encoder module (flax modules are stateless, so a fresh
+        # instance applied with the base_net params is the same network).
+        from obman_train_tpu.models.resnet import resnet18, resnet50
+
+        import jax.numpy as jnp_
+
+        encoder = {18: resnet18, 50: resnet50}[
+            int(config.model.resnet_version)
+        ](dtype=jnp_.dtype(config.model.compute_dtype))
+
+        @jax.jit
+        def encoder_inters(variables, frames_u8):
+            """ResNet stage intermediates for attention maps (the
+            AttentionHook role, demo/attention.py)."""
+            from obman_train_tpu.ops.image import preprocess_frames
+
+            images = preprocess_frames(
+                frames_u8.astype(np.float32) * 1.0, size=image_size
+            )
+            _, inters = encoder.apply(
+                {
+                    "params": variables["params"]["base_net"],
+                    "batch_stats": variables["batch_stats"].get("base_net", {}),
+                },
+                images,
+                return_inter=True,
+            )
+            return inters
+
         self._infer = infer
+        self._encoder_inters = encoder_inters
         self._variables = variables
         self.hand_faces = np.asarray(
             # faces are shared by both sides' assets in our loader
@@ -111,6 +141,19 @@ class DemoModel:
             self._variables, frames, sides, jnp.asarray([flip])
         )
         return {k: np.asarray(v) for k, v in out.items()}
+
+    def attention_maps(self, frames: np.ndarray) -> np.ndarray:
+        """(B, H, W, 3) uint8 frames -> (B, size, size) attention in [0, 1]
+        (the webcam demo's activation heatmaps, webcam_demo.py:90-131)."""
+        import jax.numpy as jnp
+
+        from obman_train_tpu.demo.attention import stage_attention
+
+        inters = self._encoder_inters(self._variables, jnp.asarray(frames))
+        return stage_attention(
+            [np.asarray(i) for i in inters],
+            (self.image_size, self.image_size),
+        )
 
     def predict_dual(self, frame: np.ndarray, hand_side: str = "left"):
         """The image_demo path: original + horizontally flipped frame in one
