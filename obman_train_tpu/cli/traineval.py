@@ -127,6 +127,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="dir with MANO_{LEFT,RIGHT}.{pkl,npz}; 'synthetic' "
                         "uses the test-only synthetic MANO model")
     e.add_argument("--debug", action="store_true")
+    e.add_argument("--no_simulate", action="store_true",
+                   help="skip the grasp simulation after --evaluate "
+                        "(traineval.py:352-364 behaviour)")
+    e.add_argument("--vhacd_exe", default=None)
     return p
 
 
@@ -357,7 +361,17 @@ def main(argv=None):
         print(f"Loaded ATLAS checkpoint from epoch {start_epoch}")
     if args.resume:
         if len(args.resume) == 1:
-            state, start_epoch = load_checkpoint(args.resume[0], state)
+            try:
+                state, start_epoch = load_checkpoint(args.resume[0], state)
+            except Exception as e:
+                # strict -> non-strict fallback (reference reload.py:103-110)
+                from obman_train_tpu.train.checkpoint import (
+                    load_checkpoint_lax,
+                )
+
+                print(f"Strict restore failed ({type(e).__name__}); "
+                      "falling back to lax restore")
+                state, start_epoch = load_checkpoint_lax(args.resume[0], state)
             print(f"Resumed from epoch {start_epoch}")
         else:
             from obman_train_tpu.train.checkpoint import (
@@ -388,6 +402,14 @@ def main(argv=None):
         )
     if cfg.evaluate:
         print("Eval metrics:", {k: round(float(v), 4) for k, v in metrics.items()})
+        if cfg.save_results and not args.no_simulate:
+            from obman_train_tpu.simulation import full_simul
+
+            sim_dir = os.path.join(
+                cfg.exp_id, "save_results", "val", f"epoch_{start_epoch}"
+            )
+            summary = full_simul(sim_dir, workers=cfg.data.workers)
+            print("Simulation:", summary)
     print("All done !")
     return state, metrics
 
