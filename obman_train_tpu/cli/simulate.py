@@ -19,12 +19,15 @@ def main(argv=None):
     parser.add_argument("--intersect", action="store_true",
                         help="also compute voxel intersection volumes")
     parser.add_argument("--pitch", type=float, default=0.005)
+    parser.add_argument("--vhacd_exe", default=None,
+                        help="V-HACD executable (forces the pybullet backend)")
     args = parser.parse_args(argv)
 
     from obman_train_tpu.simulation import full_simul
 
     summary = full_simul(
-        args.exp_id, workers=args.workers, backend=args.backend
+        args.exp_id, workers=args.workers, backend=args.backend,
+        vhacd_exe=args.vhacd_exe,
     )
     print("simulation:", summary)
     if args.intersect:

@@ -126,6 +126,8 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--mano_assets", default="misc/mano",
                    help="dir with MANO_{LEFT,RIGHT}.{pkl,npz}; 'synthetic' "
                         "uses the test-only synthetic MANO model")
+    e.add_argument("--fix_left_shapedirs", action="store_true",
+                   help="apply the MANO_LEFT shapedirs mirror fix")
     e.add_argument("--debug", action="store_true")
     e.add_argument("--no_simulate", action="store_true",
                    help="skip the grasp simulation after --evaluate "
@@ -237,7 +239,7 @@ def args_to_config(args):
     )
 
 
-def load_mano_pair(mano_assets_dir: str):
+def load_mano_pair(mano_assets_dir: str, fix_left_shapedirs: bool = False):
     from obman_train_tpu.models import mano_params_from_assets
 
     if mano_assets_dir == "synthetic":
@@ -251,7 +253,12 @@ def load_mano_pair(mano_assets_dir: str):
 
     return (
         mano_params_from_assets(load_mano_assets(mano_assets_dir, "right")),
-        mano_params_from_assets(load_mano_assets(mano_assets_dir, "left")),
+        mano_params_from_assets(
+            load_mano_assets(
+                mano_assets_dir, "left",
+                fix_left_shapedirs=fix_left_shapedirs,
+            )
+        ),
     )
 
 
@@ -283,7 +290,10 @@ def main(argv=None):
     cfg.to_json(os.path.join(cfg.exp_id, "opt.json"))
     print(f"Devices: {jax.devices()}")
 
-    net = build_handnet(cfg.model, *load_mano_pair(cfg.mano_assets))
+    net = build_handnet(
+        cfg.model,
+        *load_mano_pair(cfg.mano_assets, args.fix_left_shapedirs),
+    )
     meta = {
         "mode": cfg.data.mode,
         "override_scale": cfg.data.override_scale,
@@ -363,14 +373,15 @@ def main(argv=None):
         if len(args.resume) == 1:
             try:
                 state, start_epoch = load_checkpoint(args.resume[0], state)
-            except Exception as e:
-                # strict -> non-strict fallback (reference reload.py:103-110)
+            except (ValueError, KeyError) as e:
+                # Structure mismatch: strict -> non-strict fallback
+                # (reference reload.py:103-110). Path/IO errors propagate.
                 from obman_train_tpu.train.checkpoint import (
                     load_checkpoint_lax,
                 )
 
-                print(f"Strict restore failed ({type(e).__name__}); "
-                      "falling back to lax restore")
+                print(f"Strict restore failed; falling back to lax "
+                      f"restore. Cause: {e}")
                 state, start_epoch = load_checkpoint_lax(args.resume[0], state)
             print(f"Resumed from epoch {start_epoch}")
         else:
@@ -408,7 +419,8 @@ def main(argv=None):
             sim_dir = os.path.join(
                 cfg.exp_id, "save_results", "val", f"epoch_{start_epoch}"
             )
-            summary = full_simul(sim_dir, workers=cfg.data.workers)
+            summary = full_simul(sim_dir, workers=cfg.data.workers,
+                                 vhacd_exe=args.vhacd_exe)
             print("Simulation:", summary)
     print("All done !")
     return state, metrics

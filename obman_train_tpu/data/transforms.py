@@ -155,7 +155,7 @@ def transform_img(
         )
     if np.issubdtype(np.asarray(img).dtype, np.integer):
         out = np.clip(out, 0, 255)
-    return out
+    return out[:, :, 0] if np.asarray(img).ndim == 2 else out
 
 
 def _native_warp(img, inv, res):

@@ -177,12 +177,13 @@ def process_sample(
     sample: Dict[str, np.ndarray],
     save_dir: Optional[str] = None,
     backend: str = "native",
+    vhacd_exe: Optional[str] = None,
 ) -> Dict:
     """One sample -> {'idx', 'distance', ...} (simulate.process_sample)."""
     dist = run_simulation(
         sample["hand_verts"], sample["hand_faces"],
         sample["obj_verts"], sample.get("obj_faces"),
-        backend=backend,
+        backend=backend, vhacd_exe=vhacd_exe,
     )
     out = {"sample_idx": sample_idx, "simulation_distance": dist}
     if save_dir is not None:
@@ -193,14 +194,15 @@ def process_sample(
 
 
 def _worker(args):
-    idx, sample, save_dir, backend = args
-    return process_sample(idx, sample, save_dir, backend)
+    idx, sample, save_dir, backend, vhacd_exe = args
+    return process_sample(idx, sample, save_dir, backend, vhacd_exe)
 
 
 def full_simul(
     exp_id: str,
     workers: int = 8,
     backend: str = "native",
+    vhacd_exe: Optional[str] = None,
     save_gifs: bool = False,
 ) -> Dict:
     """Driver: read the epoch's saved batch pickles, fan the per-sample
@@ -217,7 +219,9 @@ def full_simul(
 
     save_dir = os.path.join(exp_id, "simulation_results")
     os.makedirs(save_dir, exist_ok=True)
-    jobs = [(i, s, None, backend) for i, s in enumerate(samples)]
+    if vhacd_exe is not None:
+        backend = "pybullet"  # V-HACD only applies to the pybullet path
+    jobs = [(i, s, None, backend, vhacd_exe) for i, s in enumerate(samples)]
     if workers > 1:
         # Threads, not processes: the native stepper releases the GIL for
         # the duration of the ctypes call, so threads parallelize it, and
