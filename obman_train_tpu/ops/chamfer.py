@@ -54,7 +54,8 @@ def chamfer_min_sqdist(x: jnp.ndarray, y: jnp.ndarray):
 
 
 # Above this many pairwise entries the tiled Pallas kernel wins on TPU
-# (measured on v5e: ~2x at 4k x 4k, ~6x at 16k x 16k; slower below ~1M).
+# (measured on v5e: ~3.5x at 16k x 16k with the direct-difference VPU
+# kernel; parity below ~1M pairs).
 _PALLAS_PAIRS_THRESHOLD = 4_000_000
 
 

@@ -1,8 +1,8 @@
 """Pallas kernels vs XLA reference ops, in interpret mode on CPU.
 
 (On real TPU the same comparisons were verified during development:
-chamfer max err ~8e-3 on ~1e4-scale squared distances, raytri exact
-agreement; pallas wins ~2x at 4k points and ~6x at 16k.)
+chamfer max err ~1e-2 on ~1e4-scale squared distances (rel ~1e-6),
+raytri exact agreement; pallas 3.5x vs XLA at 16k points, 25.5->7.4 ms.)
 """
 
 import numpy as np
