@@ -116,7 +116,17 @@ def compute_contact_loss(
     min21idxs = jnp.argmin(dists, axis=2)  # (B, H)
 
     obj_triangles = obj_verts[:, obj_faces]  # (B, F, 3, 3)
-    exterior = batch_mesh_contains_points(
+    if jax.default_backend() == "tpu":
+        # Pallas kernel: ~1.5x vs the XLA path at reference sizes, exact
+        # agreement (see ops/pallas/raytri_kernel.py).
+        from obman_train_tpu.ops.pallas.raytri_kernel import (
+            pallas_mesh_contains_points,
+        )
+
+        contains = pallas_mesh_contains_points
+    else:
+        contains = batch_mesh_contains_points
+    exterior = contains(
         jax.lax.stop_gradient(hand_verts), jax.lax.stop_gradient(obj_triangles)
     )
     penetr_mask = ~exterior
