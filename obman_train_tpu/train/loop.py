@@ -52,9 +52,11 @@ class StepCache:
 
     def train_step(self, spec: BatchSpec):
         if spec not in self._train:
+            # donate=True: the old TrainState's buffers are consumed by the
+            # update (epoch_pass threads state linearly, never reusing it).
             self._train[spec] = make_train_step(
                 self.net, self.tx, spec, train_bn=self.train_bn,
-                mesh=self.mesh, donate=False,
+                mesh=self.mesh, donate=True,
                 return_joints=spec.has_joints3d,
             )
         return self._train[spec]
@@ -171,6 +173,30 @@ def epoch_pass(
     return state, avg_meters, pck_info
 
 
+def _save_pck_artifacts(cfg, epoch: int, pck_info: Dict, val_loader):
+    """Per-epoch PCK curve image + pickle (epochpass3d.py:176-209), with the
+    StereoHands literature overlay when evaluating that dataset."""
+    pck_dir = os.path.join(cfg.exp_id, "pcks", "val")
+    os.makedirs(pck_dir, exist_ok=True)
+    overlay = None
+    metas = getattr(val_loader, "metas", None)
+    if metas and metas[0].get("dataset") == "stereohands":
+        overlay = (
+            "stereo_test" if metas[0].get("split") == "test" else "stereo_all"
+        )
+    try:
+        from obman_train_tpu.visualize.displaymano import save_pck_img
+
+        save_pck_img(
+            pck_info["thres"], pck_info["pck_curve"], pck_info["auc"],
+            os.path.join(pck_dir, f"epoch_{epoch}.png"), overlay=overlay,
+        )
+    except Exception as e:  # matplotlib-free environments
+        print(f"pck plot skipped: {e}")
+    with open(os.path.join(pck_dir, f"epoch_{epoch}.pkl"), "wb") as f:
+        pickle.dump(pck_info, f)
+
+
 def fit(
     cfg: ExperimentConfig,
     net: HandNet,
@@ -216,6 +242,8 @@ def fit(
             if k in pck_info:
                 val_dict[k] = pck_info[k]
         monitor.log_val(epoch + 1, val_dict)
+        if pck_info:
+            _save_pck_artifacts(cfg, epoch, pck_info, val_loader)
         monitor.save_metrics()
         monitor.plot_metrics()
 
