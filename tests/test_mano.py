@@ -96,3 +96,20 @@ def test_mano_zero_pose_is_mean_shape(assets_right, params_right):
     np.testing.assert_allclose(
         np.asarray(verts[0]) / 1000.0, flat.v_template, atol=1e-4
     )
+
+
+def test_mano_regression_golden():
+    """Outputs must stay bit-stable across refactors (golden captured after
+    validation against the independent numpy implementation)."""
+    import os
+
+    golden = np.load(
+        os.path.join(os.path.dirname(__file__), "goldens", "mano_golden.npz")
+    )
+    params = mano_params_from_assets(synthetic_mano_assets("right"))
+    verts, joints = mano_forward(
+        params, jnp.asarray(golden["pose"]), jnp.asarray(golden["betas"]),
+        ncomps=6,
+    )
+    np.testing.assert_allclose(np.asarray(verts), golden["verts"], atol=1e-3)
+    np.testing.assert_allclose(np.asarray(joints), golden["joints"], atol=1e-3)
