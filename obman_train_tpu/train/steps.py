@@ -193,6 +193,89 @@ def make_train_step(
     return jax.jit(step_fn, **kwargs)
 
 
+def make_train_step_syncbn(
+    net: HandNet,
+    tx: optax.GradientTransformation,
+    spec: BatchSpec,
+    mesh,
+    return_joints: bool = False,
+):
+    """Train step with UNFROZEN BatchNorm whose batch statistics are
+    synchronized across the data mesh (torch-SyncBN equivalent; the
+    reference's DataParallel never syncs, SURVEY.md §5).
+
+    flax BatchNorm's ``axis_name`` needs a bound mesh axis, which plain
+    jit+NamedSharding SPMD does not provide — so the step body runs under
+    shard_map: each shard computes grads on its local batch, all-reduces
+    them with ``lax.pmean``, and applies identical updates, keeping params
+    replicated.  Requires ModelConfig(sync_bn=True) so BN layers carry
+    axis_name="data".
+    """
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    def step_fn(state: TrainState, batch: Dict, rng: jnp.ndarray):
+        step_rng = jax.random.fold_in(rng, state.step)
+        dropout_rng, points_rng = jax.random.split(step_rng)
+
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            (total, results, losses), updated = net.apply(
+                variables, batch, spec, train=True,
+                rngs={"dropout": dropout_rng, "points": points_rng},
+                regul_scale=state.regul_scale, mutable=["batch_stats"],
+            )
+            joints = results.get("joints") if return_joints else None
+            return total, (losses, updated["batch_stats"], joints)
+
+        (_, (losses, new_stats, joints)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        # Cross-shard reductions: grads/losses averaged; BN running stats
+        # were already computed from pmean'd batch stats (axis_name bound),
+        # but the *updates* ran per-shard on identical inputs -> identical.
+        grads = jax.lax.pmean(grads, "data")
+        losses = jax.tree_util.tree_map(
+            lambda x: jax.lax.pmean(x, "data") if x is not None else None,
+            losses,
+        )
+        new_stats = jax.lax.pmean(new_stats, "data")
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            params=new_params, batch_stats=new_stats, opt_state=new_opt,
+            step=state.step + 1, regul_scale=state.regul_scale,
+        )
+        if return_joints:
+            return new_state, losses, joints
+        return new_state, losses
+
+    batch_spec_tree = P("data")
+    rep = P()
+    out_specs = (rep, rep, batch_spec_tree) if return_joints else (rep, rep)
+    try:
+        sharded = shard_map(
+            step_fn,
+            mesh=mesh,
+            in_specs=(rep, batch_spec_tree, rep),
+            out_specs=out_specs,
+            check_vma=False,
+        )
+    except TypeError:  # older jax uses check_rep
+        sharded = shard_map(
+            step_fn,
+            mesh=mesh,
+            in_specs=(rep, batch_spec_tree, rep),
+            out_specs=out_specs,
+            check_rep=False,
+        )
+    return jax.jit(sharded)
+
+
 def make_eval_step(
     net: HandNet, spec: BatchSpec, mesh=None, no_loss: bool = False
 ):
