@@ -143,6 +143,15 @@ def _render(args, model, frame, out, i, name):
     fig = plt.figure(figsize=(8, 4))
     ax = fig.add_subplot(1, 2, 1)
     ax.imshow(frame)
+    if "joints2d" in out:
+        from obman_train_tpu.visualize.viz2d import visualize_joints_2d
+
+        # joints2d are in crop coordinates; scale to the raw frame's square
+        scale = min(frame.shape[:2]) / model.image_size
+        off_x = (frame.shape[1] - min(frame.shape[:2])) / 2
+        off_y = (frame.shape[0] - min(frame.shape[:2])) / 2
+        j2d = out["joints2d"][i] * scale + [off_x, off_y]
+        visualize_joints_2d(ax, j2d)
     ax.axis("off")
     ax = fig.add_subplot(1, 2, 2, projection="3d")
     add_mesh(ax, out["verts"][i], model.hand_faces, c="b")

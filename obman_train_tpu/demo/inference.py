@@ -88,6 +88,7 @@ class DemoModel:
             )
             keep = (
                 "verts", "joints", "objpoints3d", "objtrans", "objscale",
+                "joints2d",
             )
             return {k: results[k] for k in keep if k in results}
 
