@@ -91,18 +91,27 @@ class HandDataset:
         self.center_jittering = center_jittering
         self.queries = list(queries)
         self.resample = resample
-        self._rng = np.random.default_rng(seed)
+        self._seed = seed
+        self._epoch = 0
 
     def __len__(self):
         return len(self.pose_dataset)
 
     def reseed(self, seed: int):
-        self._rng = np.random.default_rng(seed)
+        """Set the per-epoch augmentation stream (called by BatchLoader)."""
+        self._epoch = seed
+
+    def _sample_rng(self, idx) -> np.random.Generator:
+        """Thread-safe, deterministic per (seed, epoch, idx): loader threads
+        pull samples concurrently, so a shared mutable Generator would race."""
+        return np.random.default_rng(
+            (self._seed, self._epoch, int(idx))
+        )
 
     # -- the pipeline (handataset.py:104-413) --------------------------------
 
     def get_sample(self, idx, query=None, rng=None):
-        rng = rng or self._rng
+        rng = rng or self._sample_rng(idx)
         query = set(self.queries if query is None else query)
         sample = {}
 
@@ -359,5 +368,5 @@ class HandDataset:
         except Exception:
             traceback.print_exc()
             print(f"Encountered error processing sample {idx}")
-            random_idx = int(self._rng.integers(0, len(self)))
+            random_idx = int(self._sample_rng(idx).integers(0, len(self)))
             return self.get_sample(random_idx, self.queries)

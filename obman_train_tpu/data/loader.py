@@ -107,6 +107,10 @@ class BatchLoader:
     def __iter__(self) -> Iterator[Dict]:
         rng = np.random.default_rng(self.seed + self._epoch)
         self._epoch += 1
+        # Advance the dataset's per-epoch augmentation stream (samples are
+        # deterministic per (seed, epoch, idx), thread-safe under prefetch).
+        if hasattr(self.dataset, "reseed"):
+            self.dataset.reseed(self._epoch)
         order = np.arange(len(self.dataset))
         if self.shuffle:
             rng.shuffle(order)

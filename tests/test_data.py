@@ -194,3 +194,23 @@ def test_native_warp_parity(rng):
     a = T.transform_img(img, aff, (64, 64), use_native=True)
     b = T.transform_img(img, aff, (64, 64), use_native=False)
     np.testing.assert_allclose(a, b, atol=1e-3)
+
+
+def test_augmentation_deterministic_and_epoch_varying():
+    """Samples are deterministic per (seed, epoch, idx) — safe under
+    concurrent prefetch threads — and vary across epochs."""
+    ds = make_hand_dataset(train=True)
+    a1 = ds.get_sample(3)[TransQueries.joints3d]
+    a2 = ds.get_sample(3)[TransQueries.joints3d]
+    np.testing.assert_array_equal(a1, a2)
+    ds.reseed(1)
+    b = ds.get_sample(3)[TransQueries.joints3d]
+    assert not np.allclose(a1, b)
+
+
+def test_loader_epochs_vary_augmentation():
+    ds = make_hand_dataset(train=True)
+    loader = BatchLoader(ds, batch_size=4, num_workers=2, shuffle=False, seed=0)
+    e1 = next(iter(loader))["joints3d"]
+    e2 = next(iter(loader))["joints3d"]
+    assert not np.allclose(e1, e2)
