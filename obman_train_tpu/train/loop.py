@@ -92,6 +92,9 @@ def epoch_pass(
     rng_seed: int = 0,
     save_results_dir: Optional[str] = None,
     monitor_cb=None,
+    display_dir: Optional[str] = None,
+    display_freq: int = 500,
+    hand_faces: Optional[np.ndarray] = None,
 ):
     """One pass over ``loader``; returns (state, avg_meters, pck_info)."""
     avg_meters = AverageMeters()
@@ -125,6 +128,34 @@ def epoch_pass(
             avg_meters.add_loss_value(key, v)
             if v > 1e5 and key == "total_loss":
                 print(f"loss explosion? {key}={v} at batch {batch_idx}")
+
+        if (
+            display_dir is not None
+            and not train
+            and results is not None
+            and batch_idx % display_freq == 0
+        ):
+            # Periodic qualitative figure (epochpass3d.py:126-134).
+            try:
+                from obman_train_tpu.visualize.displaymano import (
+                    visualize_batch,
+                )
+
+                os.makedirs(display_dir, exist_ok=True)
+                faces = (
+                    hand_faces
+                    if hand_faces is not None
+                    else _default_hand_faces()
+                )
+                visualize_batch(
+                    os.path.join(display_dir, f"img_{batch_idx:06d}.png"),
+                    {k: np.asarray(v) for k, v in device_batch.items()},
+                    {k: np.asarray(v) for k, v in results.items()},
+                    faces,
+                    obj_faces=np.asarray(net.ico_faces),
+                )
+            except Exception as e:
+                print(f"visualize_batch skipped: {e}")
 
         if results is not None and "joints" in results:
             if "joints3d" in device_batch:
@@ -171,6 +202,12 @@ def epoch_pass(
             "thres": thresholds,
         }
     return state, avg_meters, pck_info
+
+
+def _default_hand_faces() -> np.ndarray:
+    from obman_train_tpu.assets.contact_zones import _DATA
+
+    return np.load(_DATA)["faces"].astype(np.int32)
 
 
 def _save_pck_artifacts(cfg, epoch: int, pck_info: Dict, val_loader):
@@ -233,9 +270,19 @@ def fit(
             save_dir = os.path.join(
                 cfg.exp_id, "save_results", "val", f"epoch_{epoch}"
             )
+        display = (
+            epoch % cfg.epoch_display_freq == 0 if cfg.epoch_display_freq
+            else False
+        )
         state, val_meters, pck_info = epoch_pass(
             val_loader, net, state, steps, epoch,
             train=False, save_results_dir=save_dir,
+            display_dir=(
+                os.path.join(cfg.exp_id, "images", "val", f"epoch_{epoch}")
+                if display
+                else None
+            ),
+            display_freq=cfg.display_freq,
         )
         val_dict = val_meters.averages()
         for k in ("auc", "epe_mean", "epe_median"):
