@@ -301,3 +301,34 @@ def test_ply_roundtrip_binary(tmp_path):
     v, fc = load_ply(str(path))
     np.testing.assert_allclose(v, verts)
     np.testing.assert_array_equal(fc, faces)
+
+
+def test_obman_obj_mode_center_scale(obman_root, tmp_path):
+    """obj mode: crops come from the object-segmentation bbox
+    (obman.py:545-566) and queries shrink to the object-only set."""
+    from obman_train_tpu.data.obman import ObMan
+    from obman_train_tpu.data.queries import BaseQueries
+
+    root, shapenet, cache = obman_root
+    # fabricate segm pngs: channel-coded labels (hand=21/23 left, obj=100)
+    segm_dir = os.path.join(root, "train", "segm")
+    os.makedirs(segm_dir, exist_ok=True)
+    for i in range(3):
+        seg = np.zeros((256, 256, 3), np.uint8)
+        seg[60:120, 80:160, 2] = 100   # object blob in the obj channel
+        seg[140:200, 80:160, 2] = 21   # left-hand labels
+        Image.fromarray(seg).save(os.path.join(segm_dir, f"{i:08d}.png"))
+        # obj-mode rgb folder
+        write_jpg(os.path.join(root, "train", "rgb_obj", f"{i:08d}.jpg"))
+    ds = ObMan(
+        split="train", mode="obj", obman_root=root, shapenet_root=shapenet,
+        cache_folder=str(tmp_path / "cache_obj"), use_cache=False,
+    )
+    assert BaseQueries.joints3d not in ds.all_queries
+    center, scale = ds.get_center_scale(0)
+    # object bbox: x in [80,160), y in [60,120) -> center ~(119.5, 89.5)
+    np.testing.assert_allclose(center, [119.5, 89.5], atol=1.0)
+    assert scale == pytest.approx(2.2 * 80, rel=0.05)
+    segm = ds.get_segm(0)
+    assert segm.shape == (256, 256, 3)
+    assert segm[:, :, 1].max() == 255  # obj channel hit
