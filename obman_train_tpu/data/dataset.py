@@ -71,7 +71,12 @@ class HandDataset:
         as_obj_only: bool = False,
         resample: str = "bilinear",
         seed: int = 0,
+        emit_uint8: bool = False,
     ):
+        """``emit_uint8=True`` outputs TransQueries.images as uint8 (the
+        pre-normalization image; the model normalizes x/255-0.5 on device).
+        Quantization-equivalent to the reference, whose PIL pipeline is
+        uint8 end-to-end, and 4x cheaper on host->device transfer."""
         self.pose_dataset = pose_dataset
         self.as_obj_only = as_obj_only
         self.inp_res = inp_res
@@ -93,6 +98,7 @@ class HandDataset:
         self.resample = resample
         self._seed = seed
         self._epoch = 0
+        self.emit_uint8 = emit_uint8
 
     def __len__(self):
         return len(self.pose_dataset)
@@ -354,7 +360,12 @@ class HandDataset:
                 warped[-pad:-1, :] = 0
                 warped[:, 0:pad] = 0
                 warped[:, -pad:-1] = 0
-            sample[TransQueries.images] = (warped - 0.5).astype(np.float32)
+            if self.emit_uint8:
+                sample[TransQueries.images] = np.clip(
+                    np.round(warped * 255.0), 0, 255
+                ).astype(np.uint8)
+            else:
+                sample[TransQueries.images] = (warped - 0.5).astype(np.float32)
 
         if BaseQueries.meta in query:
             sample[BaseQueries.meta] = self.pose_dataset.get_meta(idx)

@@ -124,6 +124,7 @@ def get_dataset(
         queries=queries,
         as_obj_only=meta.get("override_scale", False),
         black_padding=meta.get("black_padding", False),
+        emit_uint8=True,
     )
     if limit_size is not None:
         if len(dataset) < limit_size:

@@ -54,7 +54,11 @@ def to_model_batch(batch: Dict) -> Dict[str, np.ndarray]:
     out = {}
     for q, name in mapping.items():
         if q in batch:
-            out[name] = np.asarray(batch[q], np.float32)
+            val = np.asarray(batch[q])
+            if name == "images" and val.dtype == np.uint8:
+                out[name] = val  # normalize on device (4x cheaper h2d)
+            else:
+                out[name] = val.astype(np.float32)
     if BaseQueries.sides in batch:
         out["sides"] = np.asarray(
             [SIDE_TO_INT[s] for s in batch[BaseQueries.sides]], np.int32

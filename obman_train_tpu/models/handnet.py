@@ -135,6 +135,10 @@ class HandNet(nn.Module):
         losses: Dict[str, Any] = {}
 
         image = batch["images"]
+        if jnp.issubdtype(image.dtype, jnp.integer):
+            # uint8 pipeline: normalization fused on device
+            # (x/255 - 0.5 = to_tensor + normalize, handataset.py:385-407)
+            image = image.astype(jnp.float32) / 255.0 - 0.5
         features, _ = self.base_net(image, train=train)
         features = features.astype(jnp.float32)
         if feature_probe is not None:

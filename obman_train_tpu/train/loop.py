@@ -189,6 +189,11 @@ def epoch_pass(
         if monitor_cb is not None:
             monitor_cb(batch_idx, avg_meters, time_meters)
 
+    # surface loader/step timings in the logs (the reference's Bar telemetry,
+    # epochpass3d.py:153-166)
+    for key, meter in time_meters.average_meters.items():
+        avg_meters.add_loss_value(key, meter.avg)
+
     pck_info = {}
     epe_mean, _, epe_median, auc, pck_curve, thresholds = (
         evaluator.get_measures(0, 50, 20)

@@ -214,3 +214,15 @@ def test_loader_epochs_vary_augmentation():
     e1 = next(iter(loader))["joints3d"]
     e2 = next(iter(loader))["joints3d"]
     assert not np.allclose(e1, e2)
+
+
+def test_uint8_pipeline_matches_float(rng):
+    """uint8 emission + device normalization == float emission up to 8-bit
+    quantization (<=1/255/2 per channel)."""
+    ds_f = make_hand_dataset(train=False)
+    ds_u = make_hand_dataset(train=False, emit_uint8=True)
+    f = ds_f.get_sample(2)[TransQueries.images]
+    u = ds_u.get_sample(2)[TransQueries.images]
+    assert u.dtype == np.uint8
+    back = u.astype(np.float32) / 255.0 - 0.5
+    np.testing.assert_allclose(back, f, atol=1 / 255 / 2 + 1e-6)
