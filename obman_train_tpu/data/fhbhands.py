@@ -359,9 +359,9 @@ class FHBHands:
     # -- getters -------------------------------------------------------------
 
     def get_image(self, idx):
-        from PIL import Image
+        from obman_train_tpu.data.obman import _read_rgb
 
-        return np.asarray(Image.open(self.image_names[idx]).convert("RGB"))
+        return _read_rgb(self.image_names[idx])
 
     def get_obj_verts_faces(self, idx):
         obj = self.objnames[idx]

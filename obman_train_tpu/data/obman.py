@@ -35,6 +35,21 @@ SEGM_HAND_LABELS = {"right": (22, 24), "left": (21, 23)}
 SEGM_OBJ_LABEL = 100
 
 
+def _read_rgb(path: str) -> np.ndarray:
+    """cv2 (libjpeg-turbo, GIL-releasing) with PIL fallback."""
+    try:
+        import cv2
+
+        img = cv2.imread(path, cv2.IMREAD_COLOR)
+        if img is not None:
+            return img[:, :, ::-1]
+    except ImportError:
+        pass
+    from PIL import Image
+
+    return np.asarray(Image.open(path).convert("RGB"))
+
+
 class ObMan:
     name = "obman"
 
@@ -187,10 +202,7 @@ class ObMan:
     # -- getters (obman.py:324-566) -----------------------------------------
 
     def get_image(self, idx) -> np.ndarray:
-        from PIL import Image
-
-        img = Image.open(self.image_names[idx]).convert("RGB")
-        img = np.asarray(img)
+        img = _read_rgb(self.image_names[idx])
         if self.segment:
             segm = self._segm_channels(idx)
             mask = (segm[:, :, 0] + segm[:, :, 1]) > 0

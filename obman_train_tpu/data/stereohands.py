@@ -122,9 +122,9 @@ class StereoHands:
             self.detected_scales = ann["detected_scales"]
 
     def get_image(self, idx):
-        from PIL import Image
+        from obman_train_tpu.data.obman import _read_rgb
 
-        return np.asarray(Image.open(self.image_names[idx]).convert("RGB"))
+        return _read_rgb(self.image_names[idx])
 
     def get_joints3d(self, idx):
         return np.asarray(self.joints_3d[idx], np.float32)
