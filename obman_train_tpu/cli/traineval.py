@@ -109,6 +109,9 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--manual_seed", type=int, default=0)
     t.add_argument("--compute_dtype", default="float32",
                    choices=["float32", "bfloat16"])
+    t.add_argument("--device_augment", action="store_true",
+                   help="apply color jitter in-graph on device (host only "
+                        "draws the per-sample factors)")
 
     # Experiment options (expopts.py)
     e = p.add_argument_group("experiment")
@@ -317,7 +320,7 @@ def main(argv=None):
                 name, split=split, meta=meta, sides=cfg.data.sides,
                 train_it=train_it, mini_factor=cfg.data.mini_factor,
                 point_nb=cfg.data.point_nb, center_idx=cfg.data.center_idx,
-                limit_size=limit,
+                limit_size=limit, device_augment=args.device_augment,
             )
             print(f"{name}/{split}: {len(ds)} samples")
             loaders.append(

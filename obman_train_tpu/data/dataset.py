@@ -72,11 +72,17 @@ class HandDataset:
         resample: str = "bilinear",
         seed: int = 0,
         emit_uint8: bool = False,
+        device_augment: bool = False,
     ):
         """``emit_uint8=True`` outputs TransQueries.images as uint8 (the
         pre-normalization image; the model normalizes x/255-0.5 on device).
         Quantization-equivalent to the reference, whose PIL pipeline is
-        uint8 end-to-end, and 4x cheaper on host->device transfer."""
+        uint8 end-to-end, and 4x cheaper on host->device transfer.
+
+        ``device_augment=True`` moves color jitter onto the device: the host
+        only draws the per-sample factors (emitted as ``aug_factors``/
+        ``aug_order``) and the train step applies them in-graph
+        (ops/image.batched_color_jitter)."""
         self.pose_dataset = pose_dataset
         self.as_obj_only = as_obj_only
         self.inp_res = inp_res
@@ -99,6 +105,7 @@ class HandDataset:
         self._seed = seed
         self._epoch = 0
         self.emit_uint8 = emit_uint8
+        self.device_augment = device_augment
 
     def __len__(self):
         return len(self.pose_dataset)
@@ -345,11 +352,28 @@ class HandDataset:
             img_f = np.asarray(img, np.float32) / 255.0
             if self.train:
                 img_f = T.gaussian_blur(img_f, rng.random() * self.blur_radius)
-                img_f = T.color_jitter(
-                    img_f, rng,
-                    brightness=self.brightness, contrast=self.contrast,
-                    saturation=self.saturation, hue=self.hue,
-                )
+                if self.device_augment:
+                    # factors drawn as get_color_params (imgtrans.py:5-27),
+                    # applied in-graph by the train step
+                    sample["aug_factors"] = np.array(
+                        [
+                            rng.uniform(max(0, 1 - self.brightness),
+                                        1 + self.brightness),
+                            rng.uniform(max(0, 1 - self.saturation),
+                                        1 + self.saturation),
+                            rng.uniform(-self.hue, self.hue),
+                            rng.uniform(max(0, 1 - self.contrast),
+                                        1 + self.contrast),
+                        ],
+                        np.float32,
+                    )
+                    sample["aug_order"] = np.int32(rng.integers(0, 24))
+                else:
+                    img_f = T.color_jitter(
+                        img_f, rng,
+                        brightness=self.brightness, contrast=self.contrast,
+                        saturation=self.saturation, hue=self.hue,
+                    )
             warped = T.transform_img(
                 img_f, affinetrans, (self.inp_res, self.inp_res),
                 resample=self.resample,

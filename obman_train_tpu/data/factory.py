@@ -103,6 +103,7 @@ def get_dataset(
     center_idx: Optional[int] = 9,
     limit_size: Optional[int] = None,
     inp_res: int = 256,
+    device_augment: bool = False,
 ):
     meta = dict(meta or {})
     pose_dataset = make_pose_dataset(dat_name, split, meta, mini_factor)
@@ -125,6 +126,7 @@ def get_dataset(
         as_obj_only=meta.get("override_scale", False),
         black_padding=meta.get("black_padding", False),
         emit_uint8=True,
+        device_augment=device_augment,
     )
     if limit_size is not None:
         if len(dataset) < limit_size:

@@ -59,6 +59,10 @@ def to_model_batch(batch: Dict) -> Dict[str, np.ndarray]:
                 out[name] = val  # normalize on device (4x cheaper h2d)
             else:
                 out[name] = val.astype(np.float32)
+    if "aug_factors" in batch:
+        out["aug_factors"] = np.asarray(batch["aug_factors"], np.float32)
+        # per-batch op order (the in-graph jitter uses one order per batch)
+        out["aug_order"] = np.asarray(batch["aug_order"][0], np.int32)
     if BaseQueries.sides in batch:
         out["sides"] = np.asarray(
             [SIDE_TO_INT[s] for s in batch[BaseQueries.sides]], np.int32

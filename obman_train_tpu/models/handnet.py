@@ -138,7 +138,15 @@ class HandNet(nn.Module):
         if jnp.issubdtype(image.dtype, jnp.integer):
             # uint8 pipeline: normalization fused on device
             # (x/255 - 0.5 = to_tensor + normalize, handataset.py:385-407)
-            image = image.astype(jnp.float32) / 255.0 - 0.5
+            image = image.astype(jnp.float32) / 255.0
+            if "aug_factors" in batch:
+                # device-side color jitter (host only draws the factors)
+                from obman_train_tpu.ops.image import batched_color_jitter
+
+                image = batched_color_jitter(
+                    image, batch["aug_factors"], batch["aug_order"]
+                )
+            image = image - 0.5
         features, _ = self.base_net(image, train=train)
         features = features.astype(jnp.float32)
         if feature_probe is not None:

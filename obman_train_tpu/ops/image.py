@@ -68,6 +68,103 @@ def preprocess_frames(
     return frames / 255.0 - 0.5
 
 
+# ---------------------------------------------------------------------------
+# Device-side photometric augmentation (color jitter in-graph).
+# Mirrors data/transforms.py adjust_* semantics on [0, 1] images; factors are
+# drawn on the host per sample, the op order is drawn per batch (the
+# reference shuffles per sample, imgtrans.py:48 — a per-batch order keeps the
+# in-graph cost at 1x instead of 24 branches per sample).
+# ---------------------------------------------------------------------------
+
+
+def _rgb_to_gray(img):
+    return (
+        0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
+    )[..., None]
+
+
+def adjust_brightness_batch(img, factor):
+    return jnp.clip(img * factor[:, None, None, None], 0.0, 1.0)
+
+
+def adjust_contrast_batch(img, factor):
+    mean = jnp.mean(_rgb_to_gray(img), axis=(1, 2, 3), keepdims=True)
+    f = factor[:, None, None, None]
+    return jnp.clip(f * img + (1 - f) * mean, 0.0, 1.0)
+
+
+def adjust_saturation_batch(img, factor):
+    gray = _rgb_to_gray(img)
+    f = factor[:, None, None, None]
+    return jnp.clip(f * img + (1 - f) * gray, 0.0, 1.0)
+
+
+def adjust_hue_batch(img, factor):
+    """Hue shift by ``factor`` turns, vectorized HSV roundtrip."""
+    r, g, b = img[..., 0], img[..., 1], img[..., 2]
+    maxc = jnp.max(img, axis=-1)
+    minc = jnp.min(img, axis=-1)
+    v = maxc
+    delta = maxc - minc
+    s = jnp.where(maxc > 0, delta / jnp.maximum(maxc, 1e-12), 0.0)
+    safe = jnp.maximum(delta, 1e-12)
+    rc = (maxc - r) / safe
+    gc = (maxc - g) / safe
+    bc = (maxc - b) / safe
+    h = jnp.where(
+        r == maxc, bc - gc, jnp.where(g == maxc, 2.0 + rc - bc, 4.0 + gc - rc)
+    )
+    h = (h / 6.0) % 1.0
+    h = (h + factor[:, None, None]) % 1.0
+    i = jnp.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - s * f)
+    t = v * (1.0 - s * (1.0 - f))
+    i = i.astype(jnp.int32) % 6
+    r_out = jnp.select([i == k for k in range(6)], [v, q, p, p, t, v])
+    g_out = jnp.select([i == k for k in range(6)], [t, v, v, q, p, p])
+    b_out = jnp.select([i == k for k in range(6)], [p, p, t, v, v, q])
+    return jnp.clip(jnp.stack([r_out, g_out, b_out], axis=-1), 0.0, 1.0)
+
+
+_JITTER_OPS = (
+    adjust_brightness_batch,   # factor column 0
+    adjust_saturation_batch,   # column 1
+    adjust_hue_batch,          # column 2
+    adjust_contrast_batch,     # column 3
+)
+
+
+def batched_color_jitter(
+    images: jnp.ndarray, factors: jnp.ndarray, order_idx: jnp.ndarray
+) -> jnp.ndarray:
+    """Apply the 4 jitter ops in one of the 24 permutations.
+
+    Args:
+      images: (B, H, W, 3) in [0, 1].
+      factors: (B, 4) per-sample [brightness, saturation, hue, contrast]
+        factors (neutral = [1, 1, 0, 1]).
+      order_idx: scalar int32 in [0, 24) selecting the batch's op order.
+    """
+    import itertools
+
+    perms = list(itertools.permutations(range(4)))
+
+    def make_branch(perm):
+        def branch(img):
+            for op_i in perm:
+                img = _JITTER_OPS[op_i](img, factors[:, op_i])
+            return img
+        return branch
+
+    import jax
+
+    return jax.lax.switch(
+        order_idx, [make_branch(p) for p in perms], images
+    )
+
+
 def affine_warp(
     images: jnp.ndarray,
     affine: jnp.ndarray,

@@ -115,3 +115,55 @@ def test_visualize_batch_and_pck(tmp_path, rng):
         str(tmp_path / "pck.png"), overlay="stereo_test",
     )
     assert os.path.getsize(p2) > 1000
+
+
+def test_device_color_jitter_matches_host(rng):
+    """In-graph jitter ops match the host transforms for the same factors."""
+    import jax.numpy as jnp
+
+    from obman_train_tpu.data import transforms as T
+    from obman_train_tpu.ops import image as I
+
+    img = rng.random((2, 16, 16, 3)).astype(np.float32)
+    for dev_op, host_op, f in [
+        (I.adjust_brightness_batch, T.adjust_brightness, 1.3),
+        (I.adjust_contrast_batch, T.adjust_contrast, 0.7),
+        (I.adjust_saturation_batch, T.adjust_saturation, 1.4),
+    ]:
+        dev = np.asarray(dev_op(jnp.asarray(img), jnp.full((2,), f)))
+        host = np.stack([host_op(im, f) for im in img])
+        np.testing.assert_allclose(dev, host, atol=1e-5)
+    # hue: device path matches the numpy (continuous) host path
+    import builtins
+
+    real_import = builtins.__import__
+
+    def no_cv2(name, *a, **k):
+        if name == "cv2":
+            raise ImportError
+        return real_import(name, *a, **k)
+
+    builtins.__import__ = no_cv2
+    try:
+        host_hue = np.stack([T.adjust_hue(im, 0.1) for im in img])
+    finally:
+        builtins.__import__ = real_import
+    dev_hue = np.asarray(
+        I.adjust_hue_batch(jnp.asarray(img), jnp.full((2,), 0.1))
+    )
+    np.testing.assert_allclose(dev_hue, host_hue, atol=1e-4)
+
+
+def test_batched_color_jitter_order(rng):
+    import jax.numpy as jnp
+
+    from obman_train_tpu.ops.image import batched_color_jitter
+
+    img = jnp.asarray(rng.random((2, 8, 8, 3)).astype(np.float32))
+    factors = jnp.asarray([[1.5, 0.5, 0.2, 0.6], [1.0, 1.0, 0.0, 1.0]])
+    out0 = np.asarray(batched_color_jitter(img, factors, jnp.int32(0)))
+    out7 = np.asarray(batched_color_jitter(img, factors, jnp.int32(7)))
+    # different orders compose differently on the jittered sample...
+    assert not np.allclose(out0[0], out7[0])
+    # ...and neutral factors are identity regardless of order
+    np.testing.assert_allclose(out0[1], np.asarray(img[1]), atol=1e-5)
