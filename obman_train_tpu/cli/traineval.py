@@ -136,6 +136,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="skip the grasp simulation after --evaluate "
                         "(traineval.py:352-364 behaviour)")
     e.add_argument("--vhacd_exe", default=None)
+    e.add_argument("--distributed", action="store_true",
+                   help="multi-host: call jax.distributed.initialize() "
+                        "(coordinator/process env vars per JAX docs); the "
+                        "same SPMD program then spans all hosts' devices")
     return p
 
 
@@ -270,6 +274,9 @@ def main(argv=None):
     cfg = args_to_config(args)
 
     import jax
+
+    if args.distributed:
+        jax.distributed.initialize()
 
     from obman_train_tpu.data.factory import get_dataset
     from obman_train_tpu.data.loader import (

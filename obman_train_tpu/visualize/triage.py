@@ -116,4 +116,13 @@ def triage(
                 )
         fig.savefig(os.path.join(out_dir, f"{group}.png"), dpi=80)
         plt.close(fig)
+        if len(idxs):
+            from obman_train_tpu.visualize.html_mesh import export_sample_html
+
+            s0 = samples[idxs[0]]
+            export_sample_html(
+                os.path.join(out_dir, f"{group}.html"),
+                s0["hand_verts"], s0["hand_faces"],
+                s0["obj_verts"], s0.get("obj_faces"),
+            )
     return {**groups, "scores": scores}
