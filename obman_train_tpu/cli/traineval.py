@@ -37,6 +37,8 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--fhbhands_split_type", default="actions")
     d.add_argument("--fhbhands_split_choice", default="1")
     d.add_argument("--fhbhands_topology", default=None)
+    d.add_argument("--segment", action="store_true",
+                   help="obman: blacken non-hand/object pixels via the segm maps")
     d.add_argument("--synthetic_size", type=int, default=256)
     d.add_argument("--obman_root", default="datasymlinks/obman")
     d.add_argument("--shapenet_root", default="datasymlinks/ShapeNetCore.v2")
@@ -136,6 +138,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="skip the grasp simulation after --evaluate "
                         "(traineval.py:352-364 behaviour)")
     e.add_argument("--vhacd_exe", default=None)
+    e.add_argument("--auto_resume", action="store_true",
+                   help="resume from <exp_id>/checkpoint when it exists "
+                        "(preemption-safe restarts)")
     e.add_argument("--distributed", action="store_true",
                    help="multi-host: call jax.distributed.initialize() "
                         "(coordinator/process env vars per JAX docs); the "
@@ -306,6 +311,7 @@ def main(argv=None):
     )
     meta = {
         "mode": cfg.data.mode,
+        "segment": args.segment,
         "override_scale": cfg.data.override_scale,
         "size": args.synthetic_size,
         "obman_root": args.obman_root,
@@ -361,6 +367,11 @@ def main(argv=None):
     state = create_train_state(net, tx, batch0, spec, seed=cfg.train.manual_seed)
 
     start_epoch = 0
+    if args.auto_resume and not args.resume and not args.atlas_resume:
+        ckpt = os.path.join(cfg.exp_id, "checkpoint")
+        if os.path.isdir(ckpt):
+            state, start_epoch = load_checkpoint(cfg.exp_id, state)
+            print(f"Auto-resumed from epoch {start_epoch}")
     if args.atlas_resume:
         if args.resume:
             raise NotImplementedError(

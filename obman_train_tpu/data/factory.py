@@ -55,6 +55,7 @@ def make_pose_dataset(dat_name: str, split: str, meta: dict, mini_factor=None):
         return ObMan(
             split=split,
             mode=meta.get("mode", "all"),
+            segment=meta.get("segment", False),
             mini_factor=mini_factor,
             override_scale=meta.get("override_scale", False),
             obman_root=meta.get("obman_root", "datasymlinks/obman"),
