@@ -103,32 +103,7 @@ def epoch_pass(
     rng = jax.random.PRNGKey(rng_seed)
     end = time.time()
 
-    for batch_idx, batch in enumerate(loader):
-        time_meters.add_loss_value("data_time", time.time() - end)
-        root = batch.get("root", "wrist")
-        device_batch = _to_device(batch)
-        spec = derive_spec(device_batch, root=root)
-
-        if train:
-            out = steps.train_step(spec)(state, device_batch, rng)
-            if len(out) == 3:
-                state, losses, joints = out
-                results = {"joints": joints} if joints is not None else None
-            else:
-                state, losses = out
-                results = None
-        else:
-            losses, results = steps.eval_step(spec)(state, device_batch)
-
-        # Host-side metric accumulation
-        for key, val in losses.items():
-            if val is None:
-                continue
-            v = float(val)
-            avg_meters.add_loss_value(key, v)
-            if v > 1e5 and key == "total_loss":
-                print(f"loss explosion? {key}={v} at batch {batch_idx}")
-
+    def _process_outputs(batch_idx, batch, device_batch, root, results):
         if (
             display_dir is not None
             and not train
@@ -184,10 +159,52 @@ def epoch_pass(
                 ) as f:
                     pickle.dump(payload, f)
 
+    def process_host(pending):
+        """Host-side work for a completed step: metric floats (forces the
+        device sync), evaluator feed, figures, result dumps.  Deferred by
+        one batch so the device computes step N+1 while the host drains
+        step N (jit dispatch is async; the float() here is the sync point).
+        """
+        batch_idx, batch, device_batch, root, losses, results = pending
+        for key, val in losses.items():
+            if val is None:
+                continue
+            v = float(val)
+            avg_meters.add_loss_value(key, v)
+            if v > 1e5 and key == "total_loss":
+                print(f"loss explosion? {key}={v} at batch {batch_idx}")
+        _process_outputs(
+            batch_idx, batch, device_batch, root, results,
+        )
+
+    pending = None
+    for batch_idx, batch in enumerate(loader):
+        time_meters.add_loss_value("data_time", time.time() - end)
+        root = batch.get("root", "wrist")
+        device_batch = _to_device(batch)
+        spec = derive_spec(device_batch, root=root)
+
+        if train:
+            out = steps.train_step(spec)(state, device_batch, rng)
+            if len(out) == 3:
+                state, losses, joints = out
+                results = {"joints": joints} if joints is not None else None
+            else:
+                state, losses = out
+                results = None
+        else:
+            losses, results = steps.eval_step(spec)(state, device_batch)
+
+        if pending is not None:
+            process_host(pending)
+        pending = (batch_idx, batch, device_batch, root, losses, results)
+
         time_meters.add_loss_value("batch_time", time.time() - end)
         end = time.time()
         if monitor_cb is not None:
             monitor_cb(batch_idx, avg_meters, time_meters)
+    if pending is not None:
+        process_host(pending)
 
     # surface loader/step timings in the logs (the reference's Bar telemetry,
     # epochpass3d.py:153-166)
