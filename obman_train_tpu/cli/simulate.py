@@ -21,13 +21,16 @@ def main(argv=None):
     parser.add_argument("--pitch", type=float, default=0.005)
     parser.add_argument("--vhacd_exe", default=None,
                         help="V-HACD executable (forces the pybullet backend)")
+    parser.add_argument("--save_gifs", action="store_true",
+                        help="save per-sample obj/trajectory/gif artifacts "
+                        "(reference simulate.py:43-108)")
     args = parser.parse_args(argv)
 
     from obman_train_tpu.simulation import full_simul
 
     summary = full_simul(
         args.exp_id, workers=args.workers, backend=args.backend,
-        vhacd_exe=args.vhacd_exe,
+        vhacd_exe=args.vhacd_exe, save_gifs=args.save_gifs,
     )
     print("simulation:", summary)
     if args.intersect:

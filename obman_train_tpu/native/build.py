@@ -92,9 +92,12 @@ def load_physics_lib() -> Optional[ctypes.CDLL]:
     c_ip = ctypes.POINTER(ctypes.c_int32)
     lib.run_grasp_simulation.argtypes = [
         c_dp, ctypes.c_int, c_ip, ctypes.c_int,
-        c_dp, ctypes.c_int,
+        c_dp, ctypes.c_int, c_ip, ctypes.c_int,
         ctypes.c_double, ctypes.c_int, ctypes.c_int,
-        ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        ctypes.c_double,
+        ctypes.c_double, ctypes.c_double,   # per-body friction (hand, obj)
+        ctypes.c_double, ctypes.c_double,   # per-body restitution
+        ctypes.c_double,
         c_dp, c_dp,
     ]
     lib.run_grasp_simulation.restype = ctypes.c_int

@@ -5,15 +5,23 @@
 // (triangle soup) and one dynamic rigid object dropped under gravity; the
 // metric is the displacement of the object's center of mass after a fixed
 // number of steps.  The reference runs 35 steps at 1/240 s with gravity
-// +9.8 on y, hand friction 3, object friction 3, restitution 0.5, mass 1.
+// +9.8 on y, mass 1, and PER-BODY materials (simulate.py:117-145): hand
+// friction 3 / restitution 0, object friction 3 / restitution 0.5.  Like
+// pybullet's default combiners, contact friction and restitution are the
+// PRODUCTS of the two bodies' values (so the reference protocol yields
+// friction 9 and restitution 0 — inelastic contacts).
 //
-// Collision model: object vertices vs hand triangles (point-triangle
-// closest point, impulse-based resolution with Coulomb friction and
-// Baumgarte positional correction).  The static hand triangles are indexed
-// by a uniform grid built once per call, so each step touches only nearby
-// triangles.  This is not a pybullet clone — it is a compact, deterministic
-// stepper producing the same *kind* of metric (how far the object falls /
-// slides when released into the predicted grasp).
+// Collision model, two symmetric contact families per substep:
+//   1. object vertices vs static hand triangles (point-triangle closest
+//      point on a uniform grid built once per call);
+//   2. hand vertices vs object triangles, evaluated in the object's local
+//      frame against a second static grid — this plays the role of
+//      pybullet's V-HACD convex decomposition (solid-vs-solid contacts
+//      instead of a one-sided point shell).
+// Impulse-based resolution with Coulomb friction and Baumgarte positional
+// correction.  This is not a pybullet clone — it is a compact,
+// deterministic stepper producing the same *kind* of metric (how far the
+// object falls / slides when released into the predicted grasp).
 //
 // Build: g++ -O3 -shared -fPIC physics.cpp -o libobman_physics.so
 
@@ -74,9 +82,9 @@ V3 closest_point_triangle(V3 p, V3 a, V3 b, V3 c) {
 }
 
 struct Grid {
-  double cell;
+  double cell = 1.0;
   V3 origin;
-  int nx, ny, nz;
+  int nx = 0, ny = 0, nz = 0;
   std::vector<std::vector<int>> cells;
 
   int idx(int ix, int iy, int iz) const {
@@ -148,21 +156,32 @@ V3 rotate(Quat q, V3 v) {
   return v + t * q.w + cross(u, t);
 }
 
+inline Quat conj(Quat q) { return {q.w, -q.x, -q.y, -q.z}; }
+
 }  // namespace
 
 extern "C" {
 
 // Returns 0 on success. out_displacement: final center displacement (same
-// units as inputs). out_traj (n_steps * 3) optional (may be null).
+// units as inputs). obj_faces may be null (disables the hand-vertex vs
+// object-triangle contact family). out_traj (n_steps * 3) optional.
+// Contact friction/restitution are the products of the per-body values
+// (pybullet's default material combiners).
 int run_grasp_simulation(
     const double* hand_verts, int n_hand_verts,
     const int32_t* hand_faces, int n_hand_faces,
     const double* obj_verts, int n_obj_verts,
+    const int32_t* obj_faces, int n_obj_faces,
     double dt, int n_steps, int substeps,
-    double gravity_y, double friction, double restitution,
+    double gravity_y,
+    double hand_friction, double obj_friction,
+    double hand_restitution, double obj_restitution,
     double contact_margin,
     double* out_displacement, double* out_traj) {
   if (n_hand_verts <= 0 || n_hand_faces <= 0 || n_obj_verts <= 0) return 1;
+  const double friction = hand_friction * obj_friction;
+  double restitution = hand_restitution * obj_restitution;
+  if (restitution > 1.0) restitution = 1.0;
 
   // Hand triangles in world space (static).
   std::vector<V3> ta(n_hand_faces), tb(n_hand_faces), tc(n_hand_faces);
@@ -194,6 +213,34 @@ int run_grasp_simulation(
     local[i] = V3{obj_verts[3 * i], obj_verts[3 * i + 1], obj_verts[3 * i + 2]} - com;
     r2_sum += dot(local[i], local[i]);
   }
+
+  // Object triangles in the object's LOCAL frame (for the hand-vertex vs
+  // object-triangle contact family), plus their own static grid.
+  const bool obj_tris = obj_faces != nullptr && n_obj_faces > 0;
+  std::vector<V3> oa, ob, oc, on;  // on = outward local face normals
+  Grid ogrid;
+  if (obj_tris) {
+    oa.resize(n_obj_faces); ob.resize(n_obj_faces); oc.resize(n_obj_faces);
+    on.resize(n_obj_faces);
+    std::vector<V3> omin(n_obj_faces), omax(n_obj_faces);
+    for (int f = 0; f < n_obj_faces; ++f) {
+      oa[f] = local[obj_faces[3 * f]];
+      ob[f] = local[obj_faces[3 * f + 1]];
+      oc[f] = local[obj_faces[3 * f + 2]];
+      // Outward orientation: away from the center of mass (local origin);
+      // exact for star-shaped objects, which deformed icospheres are.
+      on[f] = normalized(cross(ob[f] - oa[f], oc[f] - oa[f]));
+      V3 centroid = (oa[f] + ob[f] + oc[f]) * (1.0 / 3.0);
+      if (dot(on[f], centroid) < 0) on[f] = on[f] * -1.0;
+      omin[f] = {std::fmin(oa[f].x, std::fmin(ob[f].x, oc[f].x)) - contact_margin,
+                 std::fmin(oa[f].y, std::fmin(ob[f].y, oc[f].y)) - contact_margin,
+                 std::fmin(oa[f].z, std::fmin(ob[f].z, oc[f].z)) - contact_margin};
+      omax[f] = {std::fmax(oa[f].x, std::fmax(ob[f].x, oc[f].x)) + contact_margin,
+                 std::fmax(oa[f].y, std::fmax(ob[f].y, oc[f].y)) + contact_margin,
+                 std::fmax(oa[f].z, std::fmax(ob[f].z, oc[f].z)) + contact_margin};
+    }
+    ogrid = build_grid(omin, omax, std::fmax(contact_margin * 4.0, 0.01));
+  }
   const double mass = 1.0;
   // Solid-sphere inertia approximation from the RMS vertex radius.
   double r2 = r2_sum / n_obj_verts;
@@ -208,10 +255,42 @@ int run_grasp_simulation(
   const double h = dt / substeps;
   const double beta = 0.2;  // Baumgarte positional correction factor
 
+  // Apply one contact impulse at object offset r with normal n (pointing
+  // from the hand into the object).  ``pen`` is the TRUE surface
+  // penetration (0 while the contact only grazes the margin shell): the
+  // Baumgarte bias must not fire inside the margin or resting bodies get
+  // catapulted off the surface.
+  auto resolve_contact = [&](V3 r, V3 n, double pen) {
+    V3 vel = v + cross(w, r);
+    double vn = dot(vel, n);
+    // effective mass along the normal at this contact
+    V3 rxn = cross(r, n);
+    double k = inv_mass + inv_inertia * dot(rxn, rxn);
+    double bias = beta * pen / h;
+    double jn = -(1.0 + restitution) * vn / k;
+    jn = std::fmax(jn, 0.0);
+    double jb = std::fmax(bias / k, 0.0);
+    V3 impulse = n * (jn + jb);
+    // Coulomb friction on the tangential velocity
+    V3 vt = vel - n * vn;
+    double vt_norm = norm(vt);
+    if (vt_norm > 1e-9) {
+      V3 tdir = vt * (-1.0 / vt_norm);
+      V3 rxt = cross(r, tdir);
+      double kt = inv_mass + inv_inertia * dot(rxt, rxt);
+      double jt = vt_norm / kt;
+      jt = std::fmin(jt, friction * (jn + jb));
+      impulse = impulse + tdir * jt;
+    }
+    v = v + impulse * inv_mass;
+    w = w + cross(r, impulse) * inv_inertia;
+  };
+
   for (int step = 0; step < n_steps; ++step) {
     for (int sub = 0; sub < substeps; ++sub) {
       v = v + g * h;
-      // Contact resolution (one Gauss-Seidel pass over contacts).
+      // Contact family 1: object vertices vs hand triangles
+      // (one Gauss-Seidel pass over contacts).
       for (int i = 0; i < n_obj_verts; ++i) {
         V3 r = rotate(q, local[i]);
         V3 p = x + r;
@@ -223,48 +302,68 @@ int run_grasp_simulation(
           continue;
         const auto& cand = grid.cells[grid.idx(ix, iy, iz)];
         double best_d = contact_margin;
-        V3 best_n{0, 0, 0};
+        V3 best_cpt{0, 0, 0}, best_nf{0, 0, 0};
         bool hit = false;
         for (int t : cand) {
           V3 cpt = closest_point_triangle(p, ta[t], tb[t], tc[t]);
-          V3 diff = p - cpt;
-          double d = norm(diff);
+          double d = norm(p - cpt);
           if (d < best_d) {
-            V3 n = normalized(cross(tb[t] - ta[t], tc[t] - ta[t]));
-            // orient the normal from the surface toward the vertex
-            if (dot(n, diff) < 0) n = n * -1.0;
-            if (d > 1e-9) n = normalized(diff);
             best_d = d;
-            best_n = n;
+            best_cpt = cpt;
+            best_nf = normalized(cross(tb[t] - ta[t], tc[t] - ta[t]));
             hit = true;
           }
         }
         if (!hit) continue;
-        double depth = contact_margin - best_d;
-        V3 n = best_n;
-        V3 vel = v + cross(w, r);
-        double vn = dot(vel, n);
-        // effective mass along the normal at this contact
-        V3 rxn = cross(r, n);
-        double k = inv_mass + inv_inertia * dot(rxn, rxn);
-        double bias = beta * depth / h;
-        double jn = -(1.0 + restitution) * vn / k;
-        jn = std::fmax(jn, 0.0);
-        double jb = std::fmax(bias / k, 0.0);
-        V3 impulse = n * (jn + jb);
-        // Coulomb friction on the tangential velocity
-        V3 vt = vel - n * vn;
-        double vt_norm = norm(vt);
-        if (vt_norm > 1e-9) {
-          V3 tdir = vt * (-1.0 / vt_norm);
-          V3 rxt = cross(r, tdir);
-          double kt = inv_mass + inv_inertia * dot(rxt, rxt);
-          double jt = vt_norm / kt;
-          jt = std::fmin(jt, friction * (jn + jb));
-          impulse = impulse + tdir * jt;
+        // Orient the hand-surface normal toward the OBJECT's center: the
+        // body lies on the non-hand side of the skin, so this is the
+        // separating direction even when the vertex starts slightly
+        // penetrated (a vertex-side normal would flip there and the
+        // Baumgarte bias would eject the object THROUGH the surface).
+        V3 n = best_nf;
+        if (dot(x - best_cpt, n) < 0) n = n * -1.0;
+        double sd = dot(p - best_cpt, n);  // signed: + = object side
+        if (sd >= contact_margin) continue;
+        resolve_contact(rotate(q, local[i]), n, std::fmax(-sd, 0.0));
+      }
+      // Contact family 2: hand vertices vs object triangles, evaluated in
+      // the object's local frame (solid-vs-solid; V-HACD's role).
+      if (obj_tris) {
+        Quat qc = conj(q);
+        for (int i = 0; i < n_hand_verts; ++i) {
+          V3 p{hand_verts[3 * i], hand_verts[3 * i + 1], hand_verts[3 * i + 2]};
+          V3 pl = rotate(qc, p - x);
+          int ix = (int)((pl.x - ogrid.origin.x) / ogrid.cell);
+          int iy = (int)((pl.y - ogrid.origin.y) / ogrid.cell);
+          int iz = (int)((pl.z - ogrid.origin.z) / ogrid.cell);
+          if (ix < 0 || iy < 0 || iz < 0 || ix >= ogrid.nx || iy >= ogrid.ny ||
+              iz >= ogrid.nz)
+            continue;
+          const auto& cand = ogrid.cells[ogrid.idx(ix, iy, iz)];
+          double best_d = contact_margin;
+          V3 best_cpt{0, 0, 0};
+          int best_t = -1;
+          for (int t : cand) {
+            V3 cpt = closest_point_triangle(pl, oa[t], ob[t], oc[t]);
+            double d = norm(pl - cpt);
+            if (d < best_d) {
+              best_d = d;
+              best_cpt = cpt;
+              best_t = t;
+            }
+          }
+          if (best_t < 0) continue;
+          // Push direction for the object = its INWARD surface normal at
+          // the contact (a support pushes a resting body toward the body's
+          // interior) — correct whether the hand vertex is just outside or
+          // already penetrating, unlike normalized(cpt - p) which flips.
+          V3 r = rotate(q, best_cpt);        // world offset of surface point
+          V3 n = rotate(q, on[best_t]) * -1.0;
+          // signed distance of the hand vertex along the outward normal:
+          // negative = inside the object = true penetration.
+          double sd = dot(pl - best_cpt, on[best_t]);
+          resolve_contact(r, n, std::fmax(-sd, 0.0));
         }
-        v = v + impulse * inv_mass;
-        w = w + cross(r, impulse) * inv_inertia;
       }
       x = x + v * h;
       // integrate orientation: dq = 0.5 * (0, w) * q * h

@@ -15,19 +15,34 @@ from __future__ import annotations
 
 import json
 import os
+import warnings
 from typing import Dict, Optional
 
 import numpy as np
 
-# Reference simulation constants (simulate.py:117-145, 258-291)
+# Reference simulation constants.  Per-body materials from
+# simulate.py:117-145: static hand friction 3 / restitution 0, dynamic
+# object friction 3 / restitution 0.5, mass 1; 35 steps at 1/240 s with
+# gravity +9.8 on y (simulate.py:258-291).  The contact values are the
+# pybullet default combiners (products): friction 9, restitution 0.
 DT = 1.0 / 240.0
 N_STEPS = 35
 GRAVITY_Y = 9.8
 HAND_FRICTION = 3.0
 OBJ_FRICTION = 3.0
-RESTITUTION = 0.5
+HAND_RESTITUTION = 0.0
+OBJ_RESTITUTION = 0.5
 SUBSTEPS = 4
 CONTACT_MARGIN = 0.002  # 2 mm
+
+_warned_numpy_fallback = False
+
+
+def simulation_backend() -> str:
+    """'native' when the C++ stepper is available, else 'numpy'."""
+    from obman_train_tpu.native import load_physics_lib
+
+    return "native" if load_physics_lib() is not None else "numpy"
 
 
 def run_simulation(
@@ -38,12 +53,21 @@ def run_simulation(
     vhacd_exe: Optional[str] = None,
     backend: str = "native",
     return_trajectory: bool = False,
+    hand_friction: float = HAND_FRICTION,
+    obj_friction: float = OBJ_FRICTION,
+    hand_restitution: float = HAND_RESTITUTION,
+    obj_restitution: float = OBJ_RESTITUTION,
 ):
     """Simulate and return the object displacement in metres.
 
     Args:
       hand_verts: (778, 3) in mm; hand_faces (F, 3).
-      obj_verts: (V, 3) in mm; obj_faces optional (only pybullet uses them).
+      obj_verts: (V, 3) in mm; obj_faces: (F_o, 3) — when given, the native
+        stepper also generates hand-vertex vs object-triangle contacts
+        (solid-vs-solid, playing V-HACD's role; reference
+        simulate.py:296-345).
+      hand_/obj_ friction & restitution: per-body materials; the contact
+        values are their products (pybullet's default combiners).
     """
     hand_verts = np.asarray(hand_verts, np.float64) * 0.001
     obj_verts = np.asarray(obj_verts, np.float64) * 0.001
@@ -56,29 +80,50 @@ def run_simulation(
 
     lib = load_physics_lib()
     if lib is None:
+        global _warned_numpy_fallback
+        if not _warned_numpy_fallback:
+            _warned_numpy_fallback = True
+            warnings.warn(
+                "obman_train_tpu: C++ physics stepper unavailable (no g++?);"
+                " falling back to the coarse numpy integrator — simulation"
+                " distances will NOT be comparable to the native protocol.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         return _run_numpy(
-            hand_verts, hand_faces, obj_verts, return_trajectory
+            hand_verts, hand_faces, obj_verts, return_trajectory,
+            friction=hand_friction * obj_friction,
+            restitution=hand_restitution * obj_restitution,
         )
     import ctypes
 
     hv = np.ascontiguousarray(hand_verts, np.float64)
     hf = np.ascontiguousarray(hand_faces, np.int32)
     ov = np.ascontiguousarray(obj_verts, np.float64)
+    of = (
+        np.ascontiguousarray(obj_faces, np.int32)
+        if obj_faces is not None
+        else None
+    )
     disp = ctypes.c_double(0.0)
     traj = (
         np.zeros((N_STEPS, 3), np.float64) if return_trajectory else None
     )
+    c_dp = ctypes.POINTER(ctypes.c_double)
+    c_ip = ctypes.POINTER(ctypes.c_int32)
     ret = lib.run_grasp_simulation(
-        hv.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(hv),
-        hf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(hf),
-        ov.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(ov),
+        hv.ctypes.data_as(c_dp), len(hv),
+        hf.ctypes.data_as(c_ip), len(hf),
+        ov.ctypes.data_as(c_dp), len(ov),
+        of.ctypes.data_as(c_ip) if of is not None else None,
+        len(of) if of is not None else 0,
         DT, N_STEPS, SUBSTEPS,
-        GRAVITY_Y, (HAND_FRICTION * OBJ_FRICTION) ** 0.5, RESTITUTION,
+        GRAVITY_Y,
+        hand_friction, obj_friction,
+        hand_restitution, obj_restitution,
         CONTACT_MARGIN,
         ctypes.byref(disp),
-        traj.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
-        if traj is not None
-        else None,
+        traj.ctypes.data_as(c_dp) if traj is not None else None,
     )
     if ret != 0:
         raise RuntimeError(f"run_grasp_simulation failed with code {ret}")
@@ -87,9 +132,13 @@ def run_simulation(
     return float(disp.value)
 
 
-def _run_numpy(hand_verts, hand_faces, obj_verts, return_trajectory):
-    """Pure-numpy fallback of the native stepper (translational only —
-    sufficient for environments without a C++ toolchain)."""
+def _run_numpy(
+    hand_verts, hand_faces, obj_verts, return_trajectory,
+    friction=HAND_FRICTION * OBJ_FRICTION,
+    restitution=HAND_RESTITUTION * OBJ_RESTITUTION,
+):
+    """Pure-numpy fallback of the native stepper (translational only, every
+    8th triangle — a COARSER metric; run_simulation warns when it engages)."""
     tri = hand_verts[hand_faces]  # (F, 3, 3)
     com = obj_verts.mean(0)
     local = obj_verts - com
@@ -115,9 +164,10 @@ def _run_numpy(hand_verts, hand_faces, obj_verts, return_trajectory):
                 n /= max(np.linalg.norm(n), 1e-12)
                 vn = np.dot(v, n)
                 if vn < 0:
-                    v = v - (1 + RESTITUTION) * vn * n
+                    v = v - (1 + restitution) * vn * n
                     vt = v - np.dot(v, n) * n
-                    v = v - np.clip(np.linalg.norm(vt), 0, 1) * 0.5 * vt
+                    v = v - np.clip(friction * abs(vn) /
+                                    max(np.linalg.norm(vt), 1e-9), 0, 1) * vt
             x = x + v * h
         traj.append(x.copy())
     disp = float(np.linalg.norm(x - com))
@@ -156,13 +206,19 @@ def _run_pybullet(hand_verts, hand_faces, obj_verts, obj_faces, vhacd_exe):
         p.GEOM_MESH, fileName=hand_path,
         flags=p.GEOM_FORCE_CONCAVE_TRIMESH,
     )
-    p.createMultiBody(
+    hand_id = p.createMultiBody(
         baseMass=0, baseCollisionShapeIndex=hand_col,
+    )
+    # Per-body dynamics exactly as the reference (simulate.py:117-145).
+    p.changeDynamics(
+        hand_id, -1, lateralFriction=HAND_FRICTION,
+        restitution=HAND_RESTITUTION,
     )
     obj_col = p.createCollisionShape(p.GEOM_MESH, fileName=final_obj_path)
     obj_id = p.createMultiBody(baseMass=1, baseCollisionShapeIndex=obj_col)
     p.changeDynamics(
-        obj_id, -1, lateralFriction=OBJ_FRICTION, restitution=RESTITUTION
+        obj_id, -1, lateralFriction=OBJ_FRICTION,
+        restitution=OBJ_RESTITUTION,
     )
     start = np.asarray(p.getBasePositionAndOrientation(obj_id)[0])
     for _ in range(N_STEPS):
@@ -172,30 +228,98 @@ def _run_pybullet(hand_verts, hand_faces, obj_verts, obj_faces, vhacd_exe):
     return float(np.linalg.norm(end - start))
 
 
+def _save_trajectory_gif(path, hand_verts, hand_faces, obj_verts, traj):
+    """Animated 3D view of the object sliding through the grasp (the
+    reference saved per-sample videos via skvideo, simulate.py:43-108)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib.animation import FuncAnimation, PillowWriter
+    from mpl_toolkits.mplot3d.art3d import Poly3DCollection
+
+    fig = plt.figure(figsize=(4, 4))
+    ax = fig.add_subplot(111, projection="3d")
+    mesh = Poly3DCollection(hand_verts[hand_faces], alpha=0.15)
+    mesh.set_edgecolor((0.3, 0.3, 0.3, 0.2))
+    ax.add_collection3d(mesh)
+    sub = obj_verts[:: max(1, len(obj_verts) // 200)]
+    com = obj_verts.mean(0)
+    scat = ax.scatter(sub[:, 0], sub[:, 1], sub[:, 2], s=4, c="tab:orange")
+    allpts = np.concatenate([hand_verts, obj_verts, traj], axis=0)
+    lo, hi = allpts.min(0), allpts.max(0)
+    pad = 0.1 * (hi - lo).max()
+    ax.set_xlim(lo[0] - pad, hi[0] + pad)
+    ax.set_ylim(lo[1] - pad, hi[1] + pad)
+    ax.set_zlim(lo[2] - pad, hi[2] + pad)
+    ax.invert_yaxis()  # gravity is +y in the simulation frame
+    ax.axis("off")
+
+    def update(i):
+        pts = sub + (traj[i] - com)
+        scat._offsets3d = (pts[:, 0], pts[:, 1], pts[:, 2])
+        return (scat,)
+
+    anim = FuncAnimation(fig, update, frames=len(traj), blit=False)
+    anim.save(path, writer=PillowWriter(fps=12))
+    plt.close(fig)
+
+
 def process_sample(
     sample_idx: int,
     sample: Dict[str, np.ndarray],
     save_dir: Optional[str] = None,
     backend: str = "native",
     vhacd_exe: Optional[str] = None,
+    save_artifacts: bool = False,
 ) -> Dict:
-    """One sample -> {'idx', 'distance', ...} (simulate.process_sample)."""
-    dist = run_simulation(
+    """One sample -> {'idx', 'distance', ...} (simulate.process_sample).
+
+    With ``save_artifacts`` (reference simulate.py:43-108 saved obj + video
+    per sample): writes hand/obj wavefront dumps, the object-center
+    trajectory (npy) and an animated gif under ``save_dir``.
+    """
+    want_traj = save_artifacts and save_dir is not None
+    sim = run_simulation(
         sample["hand_verts"], sample["hand_faces"],
         sample["obj_verts"], sample.get("obj_faces"),
         backend=backend, vhacd_exe=vhacd_exe,
+        return_trajectory=want_traj,
     )
-    out = {"sample_idx": sample_idx, "simulation_distance": dist}
+    dist, traj = sim if want_traj else (sim, None)
+    used = backend if backend == "pybullet" else simulation_backend()
+    out = {
+        "sample_idx": sample_idx,
+        "simulation_distance": dist,
+        "backend": used,
+    }
     if save_dir is not None:
         os.makedirs(save_dir, exist_ok=True)
         with open(os.path.join(save_dir, f"{sample_idx:06d}.json"), "w") as f:
             json.dump(out, f)
+    if want_traj and traj is not None:
+        from obman_train_tpu.simulation.savemano import save_obj
+
+        base = os.path.join(save_dir, f"{sample_idx:06d}")
+        hv = np.asarray(sample["hand_verts"], np.float64) * 0.001
+        ov = np.asarray(sample["obj_verts"], np.float64) * 0.001
+        save_obj(base + "_hand.obj", hv, sample["hand_faces"])
+        if sample.get("obj_faces") is not None:
+            save_obj(base + "_obj.obj", ov, sample["obj_faces"])
+        np.save(base + "_traj.npy", traj)
+        try:
+            _save_trajectory_gif(
+                base + ".gif", hv, np.asarray(sample["hand_faces"]), ov, traj
+            )
+        except Exception as e:  # gif rendering must never fail the metric
+            warnings.warn(f"gif rendering failed for sample {sample_idx}: {e}")
     return out
 
 
 def _worker(args):
-    idx, sample, save_dir, backend, vhacd_exe = args
-    return process_sample(idx, sample, save_dir, backend, vhacd_exe)
+    idx, sample, save_dir, backend, vhacd_exe, save_artifacts = args
+    return process_sample(idx, sample, save_dir, backend, vhacd_exe,
+                          save_artifacts)
 
 
 def full_simul(
@@ -221,7 +345,11 @@ def full_simul(
     os.makedirs(save_dir, exist_ok=True)
     if vhacd_exe is not None:
         backend = "pybullet"  # V-HACD only applies to the pybullet path
-    jobs = [(i, s, None, backend, vhacd_exe) for i, s in enumerate(samples)]
+    art_dir = os.path.join(save_dir, "samples") if save_gifs else None
+    jobs = [
+        (i, s, art_dir, backend, vhacd_exe, save_gifs)
+        for i, s in enumerate(samples)
+    ]
     if workers > 1:
         # Threads, not processes: the native stepper releases the GIL for
         # the duration of the ctypes call, so threads parallelize it, and
@@ -243,6 +371,7 @@ def full_simul(
         "std_dist": float(dists.std()),
         "max_depths": float(depths.mean()),
         "sample_nb": int(len(dists)),
+        "backend": results[0]["backend"] if results else "none",
     }
     with open(os.path.join(save_dir, "results.json"), "w") as f:
         json.dump({"summary": summary, "per_sample": results}, f, indent=1)

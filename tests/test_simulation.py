@@ -123,3 +123,113 @@ def test_save_obj_roundtrip(tmp_path):
     mesh = fast_load_obj(p)[0]
     np.testing.assert_allclose(mesh["vertices"], verts, atol=1e-6)
     np.testing.assert_array_equal(mesh["faces"], faces)
+
+
+def _plane_mesh(y, half=0.1, n=8, tilt=0.0):
+    """Triangulated plane at height y (gravity is +y), optionally tilted
+    about the z axis by `tilt` radians; coordinates in metres."""
+    xs = np.linspace(-half, half, n)
+    zs = np.linspace(-half, half, n)
+    gx, gz = np.meshgrid(xs, zs, indexing="ij")
+    gy = np.full_like(gx, y) + np.tan(tilt) * gx
+    verts = np.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
+    faces = []
+    for i in range(n - 1):
+        for j in range(n - 1):
+            a, b, c, d = (
+                i * n + j, (i + 1) * n + j, (i + 1) * n + j + 1, i * n + j + 1
+            )
+            faces.append([a, b, c])
+            faces.append([a, c, d])
+    return verts, np.asarray(faces, np.int32)
+
+
+def test_restitution_bounce_heights():
+    """Analytic restitution check: with per-body restitutions multiplying
+    (pybullet combine), an elastic contact (1 x 1) rebounds most of the drop
+    height while the reference protocol (hand 0 x obj 0.5 -> 0) kills the
+    bounce entirely."""
+    from obman_train_tpu.simulation.simulate import run_simulation
+
+    plane_v, plane_f = _plane_mesh(y=0.023)  # metres; 3mm below the sphere
+    ball, _ = icosphere(2)
+    ball_mm = ball * 20.0  # 20mm sphere at the origin
+
+    def min_y_after_contact(**kw):
+        _, traj = run_simulation(
+            plane_v * 1000.0, plane_f, ball_mm, return_trajectory=True, **kw
+        )
+        y = traj[:, 1]
+        hit = int(np.argmax(y))  # deepest approach toward the plane (+y)
+        return float(y[hit:].min()), float(y.max())
+
+    rebound_el, peak_el = min_y_after_contact(
+        hand_restitution=1.0, obj_restitution=1.0
+    )
+    rebound_ref, peak_ref = min_y_after_contact()  # reference: 0 x 0.5
+    # elastic: returns most of the way to the start height (y=0)
+    assert rebound_el < 0.4 * peak_el
+    # inelastic: stays at the plane (no significant rebound)
+    assert rebound_ref > 0.7 * peak_ref
+
+
+def test_incline_friction():
+    """A box on a 20-degree incline: the reference contact friction (3x3=9)
+    holds it in place; zero friction lets it slide ~ g*sin(theta)*t^2/2."""
+    from obman_train_tpu.simulation.simulate import (
+        DT,
+        GRAVITY_Y,
+        N_STEPS,
+        run_simulation,
+    )
+
+    tilt = np.deg2rad(20.0)
+    plane_v, plane_f = _plane_mesh(y=0.0155, half=0.2, n=12, tilt=tilt)
+    h = 0.015
+    corners = np.array(
+        [[sx * h, sy * h, sz * h]
+         for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)]
+    )
+    # rotate the box to lie flush on the incline
+    c, s = np.cos(tilt), np.sin(tilt)
+    rot = np.array([[c, s, 0], [-s, c, 0], [0, 0, 1]]).T
+    box_mm = (corners @ rot.T) * 1000.0
+    box_faces = np.array(
+        [[0, 1, 3], [0, 3, 2], [4, 6, 7], [4, 7, 5], [0, 4, 5], [0, 5, 1],
+         [2, 3, 7], [2, 7, 6], [0, 2, 6], [0, 6, 4], [1, 5, 7], [1, 7, 3]],
+        np.int32,
+    )
+
+    d_grip = run_simulation(plane_v * 1000.0, plane_f, box_mm, box_faces)
+    d_slide = run_simulation(
+        plane_v * 1000.0, plane_f, box_mm, box_faces,
+        hand_friction=0.0, obj_friction=0.0,
+    )
+    t = DT * N_STEPS
+    expected_slide = 0.5 * GRAVITY_Y * np.sin(tilt) * t**2
+    assert d_grip < 0.01  # holds (cm-level settle tolerance)
+    assert d_slide > 0.5 * expected_slide
+    assert d_slide > 3 * max(d_grip, 1e-4)
+
+
+def test_process_sample_artifacts(tmp_path):
+    """save_artifacts writes obj dumps, the trajectory and a gif
+    (reference simulate.py:43-108 saved per-sample obj + video)."""
+    from obman_train_tpu.simulation.simulate import process_sample
+
+    hand_v, hand_f = make_bowl(radius=0.08)
+    obj_v, obj_f = icosphere(1)
+    sample = {
+        "hand_verts": hand_v * 1000.0,
+        "hand_faces": hand_f,
+        "obj_verts": obj_v * 30.0 + np.array([0.0, 40.0, 0.0]),
+        "obj_faces": obj_f.astype(np.int32),
+    }
+    out = process_sample(
+        7, sample, save_dir=str(tmp_path), save_artifacts=True
+    )
+    assert out["backend"] == "native"
+    for suffix in (".json", "_hand.obj", "_obj.obj", "_traj.npy", ".gif"):
+        assert (tmp_path / f"000007{suffix}").exists(), suffix
+    traj = np.load(tmp_path / "000007_traj.npy")
+    assert traj.shape == (35, 3)
