@@ -7,10 +7,15 @@ headline config, and writes all BASELINE.json benchmark configs to
   2. hand+object with trans/scale heads            <- headline
   3. contact-aware inference (contact+collision losses live)
   4. streaming dual flipped-input pipeline (batch of 2 per frame)
-  5. full training step (fwd+bwd+adam, all losses)
+  5. full training step (fwd+bwd+adam, all losses; donated, chained)
+  6. single-frame (batch-1) latency
+  7. bfloat16 encoder path (+ numeric delta vs f32)
+  8. large-point Chamfer: XLA vs Pallas kernel at 16k x 16k
+  9. host input pipeline (BatchLoader samples/sec)
 
-Baseline target: >= 1000 frames/sec/chip on TPU v5e (BASELINE.md).
-Raw uint8 frames; preprocessing fused on device.
+Device configs carry an ``mfu_pct`` estimate (XLA cost-analysis FLOPs over
+the chip's dense bf16 peak).  Baseline target: >= 1000 frames/sec/chip on
+TPU v5e (BASELINE.md).  Raw uint8 frames; preprocessing fused on device.
 """
 
 import json
@@ -25,6 +30,38 @@ BENCH_BATCH = int(os.environ.get("OBMAN_BENCH_BATCH", 256))
 BENCH_SIZE = int(os.environ.get("OBMAN_BENCH_SIZE", 256))
 BENCH_ITERS = int(os.environ.get("OBMAN_BENCH_ITERS", 30))
 BENCH_STREAM_BATCH = int(os.environ.get("OBMAN_BENCH_STREAM_BATCH", 64))
+BENCH_CHAMFER_N = int(os.environ.get("OBMAN_BENCH_CHAMFER_N", 16384))
+BENCH_PIPELINE_SIZE = int(os.environ.get("OBMAN_BENCH_PIPELINE_SIZE", 1024))
+
+# Dense bf16 matmul peak per chip (FLOP/s) for the MFU estimate.
+_PEAK_BF16 = {
+    "v6": 918e12,
+    "v5p": 459e12,
+    "v5 lite": 197e12,
+    "v5e": 197e12,
+    "v5litepod": 197e12,
+    "v4": 275e12,
+}
+
+
+def _peak_flops(device) -> float | None:
+    kind = getattr(device, "device_kind", "").lower()
+    for key, peak in _PEAK_BF16.items():
+        if key in kind:
+            return peak
+    return None
+
+
+def _flops_of(jfn, args) -> float | None:
+    """FLOPs per call from XLA cost analysis (None if unavailable)."""
+    try:
+        cost = jfn.lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        f = float(cost.get("flops", 0.0))
+        return f if f > 0 else None
+    except Exception:
+        return None
 
 
 def _models():
@@ -45,11 +82,22 @@ def _models():
                                           final_lambda_atlas=None))
         ),
         "hand_object": make(ModelConfig(atlas=atlas)),
+        "hand_object_bf16": make(
+            ModelConfig(atlas=atlas, compute_dtype="bfloat16")
+        ),
         "contact": make(
             ModelConfig(
                 atlas=atlas,
                 contact=ContactConfig(contact_lambda=0.167,
                                       collision_lambda=0.167),
+            )
+        ),
+        "contact_bf16": make(
+            ModelConfig(
+                atlas=atlas,
+                contact=ContactConfig(contact_lambda=0.167,
+                                      collision_lambda=0.167),
+                compute_dtype="bfloat16",
             )
         ),
     }
@@ -78,6 +126,14 @@ def main():
         make_optimizer,
         make_train_step,
     )
+
+    peak = _peak_flops(jax.devices()[0])
+
+    def with_mfu(entry, jfn, args, dt):
+        flops = _flops_of(jfn, args)
+        if flops and peak:
+            entry["mfu_pct"] = round(100.0 * flops / dt / peak, 2)
+        return entry
 
     nets = _models()
     B, S = BENCH_BATCH, BENCH_SIZE
@@ -114,18 +170,53 @@ def main():
         net, {"images": jnp.zeros((B, S, S, 3), jnp.float32), "sides": sides},
         infer_spec, no_loss=True, force_hand=True,
     )
-    dt = _timeit(make_infer(net, False), (variables, frames, sides))
-    results["hands_only_inference"] = {"fps": B / dt, "batch": B}
+    jfn = make_infer(net, False)
+    dt = _timeit(jfn, (variables, frames, sides))
+    results["hands_only_inference"] = with_mfu(
+        {"fps": B / dt, "batch": B}, jfn, (variables, frames, sides), dt
+    )
 
     # 2) hand + object (headline)
     net = nets["hand_object"]
-    variables = init_vars(
+    ho_variables = init_vars(
         net, {"images": jnp.zeros((B, S, S, 3), jnp.float32), "sides": sides},
         infer_spec, no_loss=True, force_hand=True, force_objects=True,
     )
-    dt = _timeit(make_infer(net, True), (variables, frames, sides))
+    jfn = make_infer(net, True)
+    dt = _timeit(jfn, (ho_variables, frames, sides))
     headline_fps = B / dt
-    results["hand_object_inference"] = {"fps": headline_fps, "batch": B}
+    results["hand_object_inference"] = with_mfu(
+        {"fps": headline_fps, "batch": B}, jfn, (ho_variables, frames, sides), dt
+    )
+    f32_out = jfn(ho_variables, frames, sides)
+
+    # 2b) batch-1 latency on the headline config
+    frame1 = frames[:1]
+    side1 = sides[:1]
+    dt1 = _timeit(jfn, (ho_variables, frame1, side1))
+    results["single_frame_latency"] = {
+        "latency_ms": dt1 * 1e3, "fps": 1.0 / dt1, "batch": 1,
+    }
+
+    # 2c) bfloat16 encoder path: same (f32) params, bf16 compute
+    # (config.py compute_dtype="bfloat16"), plus numeric delta vs f32.
+    jfn_bf16 = make_infer(nets["hand_object_bf16"], True)
+    dt = _timeit(jfn_bf16, (ho_variables, frames, sides))
+    bf16_out = jfn_bf16(ho_variables, frames, sides)
+    deltas = [
+        float(jnp.max(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32))))
+        for a, b in zip(bf16_out, f32_out)
+    ]
+    results["hand_object_bf16"] = with_mfu(
+        {
+            "fps": B / dt, "batch": B,
+            "max_abs_delta_mm": {
+                k: round(d, 3)
+                for k, d in zip(("verts", "joints", "objpoints3d"), deltas)
+            },
+        },
+        jfn_bf16, (ho_variables, frames, sides), dt,
+    )
 
     # 3) contact-aware: losses live (attraction/repulsion + pairwise)
     net = nets["contact"]
@@ -146,8 +237,11 @@ def main():
             variables, b, spec, rngs={"points": jax.random.PRNGKey(0)}
         )
         return total
-    dt = _timeit(jax.jit(contact_fwd), (variables, frames, gt))
-    results["contact_fwd_losses"] = {"fps": B / dt, "batch": B}
+    jfn = jax.jit(contact_fwd)
+    dt = _timeit(jfn, (variables, frames, gt))
+    results["contact_fwd_losses"] = with_mfu(
+        {"fps": B / dt, "batch": B}, jfn, (variables, frames, gt), dt
+    )
 
     # 4) streaming dual flipped-input pipeline (image_demo path, batch of 2
     #    per source frame)
@@ -185,18 +279,78 @@ def main():
         "note": "raw 640x480 frames in, both flips evaluated",
     }
 
-    # 5) full train step
-    net = nets["contact"]
-    tcfg = TrainConfig()
-    tx = make_optimizer(tcfg)
-    state = create_train_state(net, tx, gt, spec)
-    step = make_train_step(net, tx, spec, donate=False)
-    key = jax.random.PRNGKey(0)
+    # 5) full train step — donated + chained (steady-state loop timing)
+    def bench_train(name, net_key):
+        net = nets[net_key]
+        tcfg = TrainConfig()
+        tx = make_optimizer(tcfg)
+        state = create_train_state(net, tx, gt, spec)
+        step = make_train_step(net, tx, spec, donate=True)
+        key = jax.random.PRNGKey(0)
+        flops = _flops_of(step, (state, gt, key))
+        state, _ = step(state, gt, key)  # warmup/compile
+        jax.block_until_ready(state.params)
+        t0 = time.perf_counter()
+        for _ in range(BENCH_ITERS):
+            state, losses = step(state, gt, key)
+        jax.block_until_ready(losses["total_loss"])
+        dt = (time.perf_counter() - t0) / BENCH_ITERS
+        entry = {"samples_per_sec": B / dt, "batch": B}
+        if flops and peak:
+            entry["mfu_pct"] = round(100.0 * flops / dt / peak, 2)
+        results[name] = entry
 
-    dt = _timeit(lambda s, b, k: step(s, b, k)[1]["total_loss"], (state, gt, key))
-    results["train_step_all_losses"] = {
-        "samples_per_sec": B / dt, "batch": B,
+    bench_train("train_step_all_losses", "contact")
+    bench_train("train_step_bf16", "contact_bf16")
+
+    # 6) large-point-count Chamfer: XLA vs the tiled Pallas kernel
+    from obman_train_tpu.ops.chamfer import (
+        _PALLAS_PAIRS_THRESHOLD,
+        chamfer_loss,
+    )
+
+    N = BENCH_CHAMFER_N
+    x = jnp.asarray(rng.normal(0, 40, (1, N, 3)), jnp.float32)
+    y = jnp.asarray(rng.normal(0, 40, (1, N, 3)), jnp.float32)
+    cham_iters = max(5, BENCH_ITERS // 3)
+    xla_fn = jax.jit(lambda a, b: chamfer_loss(a, b, use_pallas=False))
+    dt_xla = _timeit(xla_fn, (x, y), iters=cham_iters)
+    entry = {
+        "points": N,
+        "xla_ms": dt_xla * 1e3,
+        "auto_dispatch_engaged": bool(N * N >= _PALLAS_PAIRS_THRESHOLD),
     }
+    if jax.default_backend() == "tpu":
+        pal_fn = jax.jit(lambda a, b: chamfer_loss(a, b, use_pallas=True))
+        # correctness cross-check before timing
+        ox, op = xla_fn(x, y), pal_fn(x, y)
+        np.testing.assert_allclose(
+            np.asarray(ox), np.asarray(op), rtol=1e-4, atol=1e-2
+        )
+        dt_pal = _timeit(pal_fn, (x, y), iters=cham_iters)
+        entry["pallas_ms"] = dt_pal * 1e3
+        entry["pallas_speedup"] = dt_xla / dt_pal
+    results["chamfer_large"] = entry
+
+    # 7) host input pipeline: BatchLoader over the synthetic dataset
+    from obman_train_tpu.data.factory import get_dataset
+    from obman_train_tpu.data.loader import BatchLoader
+
+    for aug_name, device_augment in (("host_aug", False), ("device_aug", True)):
+        ds = get_dataset(
+            "synthetic", "train", meta={"size": BENCH_PIPELINE_SIZE},
+            device_augment=device_augment,
+        )
+        loader = BatchLoader(ds, batch_size=64, num_workers=8, seed=0)
+        n = 0
+        t0 = time.perf_counter()
+        for batch in loader:
+            n += batch["images"].shape[0]
+        dt = time.perf_counter() - t0
+        results[f"input_pipeline_{aug_name}"] = {
+            "samples_per_sec": n / dt, "workers": 8, "batch": 64,
+            "samples": n,
+        }
 
     with open("bench_details.json", "w") as f:
         json.dump(
