@@ -122,10 +122,16 @@ def epoch_pass(
                     if hand_faces is not None
                     else _default_hand_faces()
                 )
+                def to_np(v):
+                    # contact_info is a nested dict of arrays
+                    if isinstance(v, dict):
+                        return {k: to_np(x) for k, x in v.items()}
+                    return np.asarray(v)
+
                 visualize_batch(
                     os.path.join(display_dir, f"img_{batch_idx:06d}.png"),
-                    {k: np.asarray(v) for k, v in device_batch.items()},
-                    {k: np.asarray(v) for k, v in results.items()},
+                    {k: to_np(v) for k, v in device_batch.items()},
+                    {k: to_np(v) for k, v in results.items()},
                     faces,
                     obj_faces=np.asarray(net.ico_faces),
                 )

@@ -61,6 +61,51 @@ def _plt():
     return plt
 
 
+def create_segments(contact_info: Dict, verts: np.ndarray, idx: int):
+    """Per-sample (hand vertex -> closest object point) segment endpoints
+    for the attraction and repulsion masks (reference displaymano.py:12-18).
+    Returns (penetr_verts, penetr_close, missed_verts, missed_close)."""
+    att = np.asarray(contact_info["attraction_masks"])[idx].astype(bool)
+    rep = np.asarray(contact_info["repulsion_masks"])[idx].astype(bool)
+    close = np.asarray(contact_info["contact_points"])[idx]
+    return verts[rep], close[rep], verts[att], close[att]
+
+
+def visualize_contacts3d(ax, contact_info, verts, idx, alpha=0.1):
+    """Red repulsion + blue attraction segments on a 3D axis
+    (reference displaymano.py:21-40), drawn as one Line3DCollection per
+    family instead of a python loop per segment."""
+    from mpl_toolkits.mplot3d.art3d import Line3DCollection
+
+    pv, pc, mv, mc = create_segments(contact_info, verts, idx)
+    if len(pv):
+        ax.add_collection3d(
+            Line3DCollection(np.stack([pv, pc], axis=1), colors="r",
+                             alpha=alpha)
+        )
+    if len(mv):
+        ax.add_collection3d(
+            Line3DCollection(np.stack([mv, mc], axis=1), colors="b",
+                             alpha=alpha)
+        )
+
+
+def visualize_contacts2d(ax, contact_info, verts, idx, proj=(0, 1),
+                         alpha=0.5):
+    """Contact segments projected on two axes
+    (reference displaymano.py:43-63)."""
+    from matplotlib.collections import LineCollection
+
+    i, j = proj
+    pv, pc, mv, mc = create_segments(contact_info, verts, idx)
+    if len(pv):
+        segs = np.stack([pv[:, [i, j]], pc[:, [i, j]]], axis=1)
+        ax.add_collection(LineCollection(segs, colors="r", alpha=alpha))
+    if len(mv):
+        segs = np.stack([mv[:, [i, j]], mc[:, [i, j]]], axis=1)
+        ax.add_collection(LineCollection(segs, colors="b", alpha=alpha))
+
+
 def add_mesh(ax, verts: np.ndarray, faces: np.ndarray, alpha: float = 0.2,
              c: str = "b"):
     """Poly3DCollection mesh rendering (reference displaymano.py:447-472)."""
@@ -83,8 +128,9 @@ def visualize_batch(
     max_samples: int = 5,
     fig=None,
 ):
-    """Diagnostic grid: rows = [input+joints2d, 3D meshes, xy/yz/xz
-    projections], cols = samples (displaymano.visualize_batch:66-339)."""
+    """Diagnostic grid: rows = [input+joints2d, 3D meshes (+contact
+    segments), xy/yz/xz projections], cols = samples
+    (displaymano.visualize_batch:66-339; contact segments :21-63)."""
     plt = _plt()
     if fig is None:
         fig = plt.figure(figsize=(12, 12))
@@ -99,6 +145,7 @@ def visualize_batch(
         if "objpoints3d" in results
         else None
     )
+    contact_info = results.get("contact_info")
     for col in range(n):
         # input image (+0.5 to undo normalization)
         ax = fig.add_subplot(rows, n, col + 1)
@@ -109,17 +156,23 @@ def visualize_batch(
 
             visualize_joints_2d(ax, np.asarray(results["joints2d"])[col])
 
-        # 3D meshes
+        # 3D meshes (+ contact attraction/repulsion segments)
         ax = fig.add_subplot(rows, n, n + col + 1, projection="3d")
         if pred_verts is not None:
             add_mesh(ax, pred_verts[col], hand_faces, c="b")
         if pred_obj is not None and obj_faces is not None:
             add_mesh(ax, pred_obj[col], obj_faces, c="r")
+        if contact_info is not None and pred_verts is not None:
+            visualize_contacts3d(ax, contact_info, pred_verts[col], col)
         ax.axis("off")
 
         # axis projections of GT vs pred point clouds
         for row, (i, j) in enumerate([(0, 1), (1, 2), (0, 2)][:2], start=2):
             ax = fig.add_subplot(rows, n, row * n + col + 1)
+            if contact_info is not None and pred_verts is not None:
+                visualize_contacts2d(
+                    ax, contact_info, pred_verts[col], col, proj=(i, j)
+                )
             if pred_verts is not None:
                 ax.scatter(pred_verts[col][:, i], pred_verts[col][:, j], s=1,
                            c="b", alpha=0.4)

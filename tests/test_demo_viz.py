@@ -167,3 +167,34 @@ def test_batched_color_jitter_order(rng):
     assert not np.allclose(out0[0], out7[0])
     # ...and neutral factors are identity regardless of order
     np.testing.assert_allclose(out0[1], np.asarray(img[1]), atol=1e-5)
+
+
+def test_visualize_batch_contact_segments(tmp_path, rng):
+    """Contact attraction/repulsion segment panels render when contact_info
+    is present (reference displaymano.py:21-63, 270-330)."""
+    import jax.numpy as jnp
+
+    from obman_train_tpu.assets import icosphere, synthetic_mano_assets
+    from obman_train_tpu.ops.contact import compute_contact_loss
+    from obman_train_tpu.visualize import visualize_batch
+
+    assets = synthetic_mano_assets("right")
+    overts, ofaces = icosphere(3)
+    verts = rng.normal(0, 25, (2, 778, 3)).astype(np.float32)
+    obj = np.broadcast_to(overts * 30, (2, 642, 3)).astype(np.float32)
+    _m, _p, info, _met = compute_contact_loss(
+        jnp.asarray(verts), jnp.asarray(obj), jnp.asarray(ofaces),
+        contact_mode="dist_tanh", contact_zones="zones",
+    )
+    assert np.asarray(info["attraction_masks"]).any()
+    assert np.asarray(info["repulsion_masks"]).any()
+    batch = {"images": rng.random((2, 64, 64, 3)).astype(np.float32) - 0.5}
+    results = {
+        "verts": verts,
+        "objpoints3d": obj,
+        "contact_info": {k: np.asarray(v) for k, v in info.items()},
+    }
+    p = visualize_batch(
+        str(tmp_path / "contact.png"), batch, results, assets.faces, ofaces
+    )
+    assert os.path.getsize(p) > 1000
