@@ -118,6 +118,9 @@ def build_parser() -> argparse.ArgumentParser:
     # Experiment options (expopts.py)
     e = p.add_argument_group("experiment")
     e.add_argument("--exp_id", default="checkpoints/debug")
+    e.add_argument("--host_folder", default=None,
+                   help="web-hosting folder to mirror metric plots into "
+                   "(reference expopts/monitoring.py:40-66)")
     e.add_argument("--evaluate", action="store_true")
     e.add_argument("--save_results", action="store_true")
     e.add_argument("--resume", nargs="+", default=None)
@@ -248,6 +251,7 @@ def args_to_config(args):
         evaluate=args.evaluate,
         save_results=args.save_results,
         mano_assets=args.mano_assets,
+        host_folder=args.host_folder,
     )
 
 
@@ -302,6 +306,21 @@ def main(argv=None):
     os.makedirs(cfg.exp_id, exist_ok=True)
     with open(os.path.join(cfg.exp_id, "opt.txt"), "a") as f:
         f.write(" ".join(sys.argv) + "\n")
+        # Embed git describe + commit like the reference (argutils.py:35-47).
+        import subprocess
+
+        try:
+            label = subprocess.check_output(
+                ["git", "describe", "--always"],
+                stderr=subprocess.DEVNULL,
+            ).decode().strip()
+            commit = subprocess.check_output(
+                ["git", "rev-parse", "HEAD"], stderr=subprocess.DEVNULL
+            ).decode().strip()
+            f.write("=== Git info ====\n")
+            f.write(f"{label}\ncommit : {commit}\n")
+        except (subprocess.CalledProcessError, FileNotFoundError):
+            pass  # not a git checkout
     cfg.to_json(os.path.join(cfg.exp_id, "opt.json"))
     print(f"Devices: {jax.devices()}")
 

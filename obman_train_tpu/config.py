@@ -222,3 +222,6 @@ class ExperimentConfig(JsonConfigMixin):
     display_freq: int = 500
     epoch_display_freq: int = 1
     mano_assets: str = "misc/mano"        # dir with MANO_{LEFT,RIGHT}.pkl or .npz
+    # Web-hosting mirror for metric plots (reference expopts --host_folder +
+    # monitoring.py:40-66); None disables the copy.
+    host_folder: Optional[str] = None

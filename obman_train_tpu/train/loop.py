@@ -275,7 +275,12 @@ def fit(
     """Full training run (traineval.py:281-404 equivalent)."""
     import jax.numpy as jnp
 
-    monitor = Monitor(cfg.exp_id)
+    hosting = (
+        os.path.join(cfg.host_folder, os.path.basename(cfg.exp_id))
+        if getattr(cfg, "host_folder", None)
+        else None
+    )
+    monitor = Monitor(cfg.exp_id, hosting_folder=hosting)
     steps = StepCache(
         net, tx, train_bn=not cfg.train.freeze_batchnorm, mesh=mesh
     )
