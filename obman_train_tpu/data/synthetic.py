@@ -55,6 +55,17 @@ class SyntheticDataset:
         return np.random.default_rng(self._seed * 100003 + idx)
 
     def _scene(self, idx):
+        # Memoized: the adapter contract calls several accessors per sample
+        # (joints3d/verts3d/objpoints3d/joints2d/center_scale) and
+        # regenerating the scene each time dominated the host pipeline.
+        # Scenes are deterministic per (seed, idx); dict ops are GIL-atomic
+        # so this is safe under the threaded BatchLoader.
+        cache = getattr(self, "_scene_memo", None)
+        if cache is None:
+            cache = self._scene_memo = {}
+        hit = cache.get(idx)
+        if hit is not None:
+            return hit
         rng = self._rng(idx)
         # Hand joints in camera space (mm), in front of the camera.
         root = np.array([0.0, 0.0, 500.0]) + rng.normal(0, 40, 3)
@@ -64,9 +75,13 @@ class SyntheticDataset:
         verts3d[:, 2] = np.abs(verts3d[:, 2] - root[2]) * 0.3 + root[2]
         obj_center = root + np.array([30.0, 0.0, 20.0])
         objpoints3d = obj_center + rng.normal(0, 25, (2048, 3))
-        return joints3d.astype(np.float32), verts3d.astype(
-            np.float32
-        ), objpoints3d.astype(np.float32)
+        out = (
+            joints3d.astype(np.float32),
+            verts3d.astype(np.float32),
+            objpoints3d.astype(np.float32),
+        )
+        cache[idx] = out
+        return out
 
     def _project(self, pts3d):
         p = pts3d @ self.cam_intr.T

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from obman_train_tpu.assets.contact_zones import tips_mask, zone_masks
-from obman_train_tpu.ops.chamfer import batch_pairwise_sqdist
+from obman_train_tpu.ops.chamfer import batch_pairwise_sqdist, chamfer_min_sqdist
 from obman_train_tpu.ops.inside import batch_mesh_contains_points
 
 
@@ -110,14 +110,16 @@ def compute_contact_loss(
       (attraction_loss, penetration_loss, contact_info, metrics) — matching
       the reference's outputs (contactloss.py:283-308).
     """
-    dists = batch_pairwise_sqdist(hand_verts, obj_verts)  # (B, H, O)
-    mins12 = jnp.min(dists, axis=1)  # per-object-point (B, O)
-    mins21 = jnp.min(dists, axis=2)  # per-hand-vert (B, H)
-    min21idxs = jnp.argmin(dists, axis=2)  # (B, H)
+    # Nearest-neighbor mins/argmins without materializing the (B, H, O)
+    # plane on TPU (Pallas path inside chamfer_min_sqdist; the reference
+    # builds the full matrix, contactloss.py:164-166).
+    mins21, min21idxs, mins12, _ = chamfer_min_sqdist(hand_verts, obj_verts)
 
     obj_triangles = obj_verts[:, obj_faces]  # (B, F, 3, 3)
     if jax.default_backend() == "tpu":
-        # Pallas kernel: ~1.5x vs the XLA path at reference sizes, exact
+        # Pallas kernel: ~11x vs the XLA path at the reference contact
+        # config (B=256, 778 verts x 1280 tris; sustained v5e timing — the
+        # XLA path materializes the (B, P, T) interaction in HBM), exact
         # agreement (see ops/pallas/raytri_kernel.py).
         from obman_train_tpu.ops.pallas.raytri_kernel import (
             pallas_mesh_contains_points,

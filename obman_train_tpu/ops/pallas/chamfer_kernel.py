@@ -3,14 +3,18 @@
 The XLA path (ops/chamfer.py) is MXU-bound at small point counts, but above
 a few thousand points the (B, N, M) plane stops fitting on-chip and XLA
 spills it to HBM; this kernel tiles x over the grid, keeps y resident in
-VMEM, computes rx + ry - 2 x.y^T on the MXU and min-reduces immediately —
-per-x mins written per tile, per-y mins min-accumulated across the
-(sequential) TPU grid.
+VMEM, computes the squared distances and min-reduces immediately — per-x
+mins written per tile, per-y mins min-accumulated across the (sequential)
+TPU grid.
 
 Padding trick: padded points get coordinates of 1e9, making their squared
 distances ~1e18 — they can never win a min, so the kernel needs no validity
 masks at all (the (TN, MP) elementwise epilogue is the bottleneck; two
 broadcasted-iota compare/select pairs there cost more than the matmul).
+
+``with_argmin=True`` additionally emits the winning indices, enabling the
+O(BN + BM)-memory custom VJP in ops/chamfer.py (gradients flow through the
+selected nearest neighbors exactly as in the XLA/torch min).
 
 Layout: points are fed coordinate-major (B, 3, N) so the long point axis is
 the 128-lane dimension.  Numerics match ops/chamfer.batch_pairwise_sqdist
@@ -32,13 +36,7 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _chamfer_kernel(x_ref, y_ref, minx_ref, miny_ref):
-    """One (batch, x-tile) program.
-
-    x_ref: (1, 3, TN) coord-major tile; y_ref: (1, 3, MP) all y points;
-    minx_ref: (1, 1, TN) per-x mins; miny_ref: (1, 1, MP) running per-y mins.
-    """
-    i = pl.program_id(1)
+def _dists(x_ref, y_ref):
     x = x_ref[0]  # (3, TN)
     y = y_ref[0]  # (3, MP)
     # Direct squared differences on the VPU. A K=3 MXU matmul wastes 125 of
@@ -48,8 +46,13 @@ def _chamfer_kernel(x_ref, y_ref, minx_ref, miny_ref):
     d0 = x[0][:, None] - y[0][None, :]
     d1 = x[1][:, None] - y[1][None, :]
     d2 = x[2][:, None] - y[2][None, :]
-    d = d0 * d0 + d1 * d1 + d2 * d2  # (TN, MP)
+    return d0 * d0 + d1 * d1 + d2 * d2  # (TN, MP)
 
+
+def _chamfer_kernel(x_ref, y_ref, minx_ref, miny_ref):
+    """One (batch, x-tile) program; min-only variant."""
+    i = pl.program_id(1)
+    d = _dists(x_ref, y_ref)
     minx_ref[0, 0, :] = jnp.min(d, axis=1)
     tile_miny = jnp.min(d, axis=0)
 
@@ -62,13 +65,58 @@ def _chamfer_kernel(x_ref, y_ref, minx_ref, miny_ref):
         miny_ref[0, 0, :] = jnp.minimum(miny_ref[0, 0, :], tile_miny)
 
 
-@functools.partial(jax.jit, static_argnames=("tile_n", "interpret"))
-def pallas_chamfer_min_sqdist(
-    x: jnp.ndarray, y: jnp.ndarray, tile_n: int = 512, interpret: bool = False
+def _chamfer_kernel_argmin(
+    x_ref, y_ref, minx_ref, argx_ref, miny_ref, argy_ref
 ):
-    """Returns ``(min_x2y (B, N), min_y2x (B, M))`` squared distances.
+    """One (batch, x-tile) program; also tracks argmin indices (first
+    occurrence, matching jnp.argmin / torch.min tie-breaking)."""
+    i = pl.program_id(1)
+    d = _dists(x_ref, y_ref)
+    tn, mp = d.shape
+
+    minx = jnp.min(d, axis=1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tn, mp), 1)
+    minx_ref[0, 0, :] = minx
+    argx_ref[0, 0, :] = jnp.min(
+        jnp.where(d == minx[:, None], lane, jnp.int32(mp)), axis=1
+    )
+
+    tile_miny = jnp.min(d, axis=0)
+    row = jax.lax.broadcasted_iota(jnp.int32, (tn, mp), 0)
+    tile_argy = (
+        jnp.min(jnp.where(d == tile_miny[None, :], row, jnp.int32(tn)), axis=0)
+        + i * tn
+    )
+
+    @pl.when(i == 0)
+    def _():
+        miny_ref[0, 0, :] = tile_miny
+        argy_ref[0, 0, :] = tile_argy
+
+    @pl.when(i > 0)
+    def _():
+        prev = miny_ref[0, 0, :]
+        better = tile_miny < prev
+        miny_ref[0, 0, :] = jnp.where(better, tile_miny, prev)
+        argy_ref[0, 0, :] = jnp.where(better, tile_argy, argy_ref[0, 0, :])
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile_n", "interpret", "with_argmin")
+)
+def pallas_chamfer_min_sqdist(
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    tile_n: int = 512,
+    interpret: bool = False,
+    with_argmin: bool = False,
+):
+    """Nearest-neighbor squared distances in both directions.
 
     Args: x (B, N, 3), y (B, M, 3) float32.
+    Returns:
+      ``(min_x2y (B, N), min_y2x (B, M))``, or with ``with_argmin=True``
+      ``(min_x2y, argmin_x2y int32, min_y2x, argmin_y2x int32)``.
     """
     B, N, _ = x.shape
     M = y.shape[1]
@@ -86,17 +134,40 @@ def pallas_chamfer_min_sqdist(
         constant_values=_PAD,
     )
 
+    grid = (B, NP // tile_n)
+    in_specs = [
+        pl.BlockSpec((1, 3, tile_n), lambda b, i: (b, 0, i)),
+        pl.BlockSpec((1, 3, MP), lambda b, i: (b, 0, 0)),
+    ]
+    tile_out = pl.BlockSpec((1, 1, tile_n), lambda b, i: (b, 0, i))
+    full_out = pl.BlockSpec((1, 1, MP), lambda b, i: (b, 0, 0))
+
+    if with_argmin:
+        minx, argx, miny, argy = pl.pallas_call(
+            _chamfer_kernel_argmin,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=[tile_out, tile_out, full_out, full_out],
+            out_shape=[
+                jax.ShapeDtypeStruct((B, 1, NP), jnp.float32),
+                jax.ShapeDtypeStruct((B, 1, NP), jnp.int32),
+                jax.ShapeDtypeStruct((B, 1, MP), jnp.float32),
+                jax.ShapeDtypeStruct((B, 1, MP), jnp.int32),
+            ],
+            interpret=interpret,
+        )(x_pad, y_pad)
+        return (
+            minx[:, 0, :N],
+            argx[:, 0, :N],
+            miny[:, 0, :M],
+            argy[:, 0, :M],
+        )
+
     minx, miny = pl.pallas_call(
         _chamfer_kernel,
-        grid=(B, NP // tile_n),
-        in_specs=[
-            pl.BlockSpec((1, 3, tile_n), lambda b, i: (b, 0, i)),
-            pl.BlockSpec((1, 3, MP), lambda b, i: (b, 0, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 1, tile_n), lambda b, i: (b, 0, i)),
-            pl.BlockSpec((1, 1, MP), lambda b, i: (b, 0, 0)),
-        ],
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[tile_out, full_out],
         out_shape=[
             jax.ShapeDtypeStruct((B, 1, NP), jnp.float32),
             jax.ShapeDtypeStruct((B, 1, MP), jnp.float32),

@@ -77,3 +77,66 @@ def test_chamfer_loss_dispatch(rng):
     l1b, l2b = chamfer_loss(preds, gts, use_pallas="auto")
     np.testing.assert_allclose(np.asarray(l1a), np.asarray(l1b), atol=1e-6)
     np.testing.assert_allclose(np.asarray(l2a), np.asarray(l2b), atol=1e-6)
+
+
+def test_pallas_chamfer_argmin_interpret(rng):
+    """with_argmin variant agrees with XLA min+argmin (CPU interpret)."""
+    import jax.numpy as jnp
+
+    from obman_train_tpu.ops.chamfer import batch_pairwise_sqdist
+    from obman_train_tpu.ops.pallas.chamfer_kernel import (
+        pallas_chamfer_min_sqdist,
+    )
+
+    x = jnp.asarray(rng.normal(0, 40, (2, 300, 3)), jnp.float32)
+    y = jnp.asarray(rng.normal(0, 40, (2, 200, 3)), jnp.float32)
+    minx, argx, miny, argy = pallas_chamfer_min_sqdist(
+        x, y, tile_n=128, interpret=True, with_argmin=True
+    )
+    d = batch_pairwise_sqdist(x, y)
+    # direct-difference kernel vs the rx+ry-2xy XLA formulation: f32 noise
+    np.testing.assert_allclose(np.asarray(minx), np.asarray(jnp.min(d, 2)),
+                               rtol=1e-4, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(miny), np.asarray(jnp.min(d, 1)),
+                               rtol=1e-4, atol=1e-2)
+    # the returned index must ACHIEVE the min (exact index equality can
+    # legitimately differ on near-ties between the two formulations)
+    d_at_argx = np.take_along_axis(np.asarray(d), np.asarray(argx)[:, :, None],
+                                   axis=2)[:, :, 0]
+    np.testing.assert_allclose(d_at_argx, np.asarray(jnp.min(d, 2)),
+                               rtol=1e-4, atol=1e-2)
+    d_at_argy = np.take_along_axis(np.asarray(d), np.asarray(argy)[:, None, :],
+                                   axis=1)[:, 0, :]
+    np.testing.assert_allclose(d_at_argy, np.asarray(jnp.min(d, 1)),
+                               rtol=1e-4, atol=1e-2)
+
+
+def test_pallas_chamfer_vjp_matches_xla(rng, monkeypatch):
+    """The custom VJP routes gradients exactly like XLA's min subgradient."""
+    import jax
+    import jax.numpy as jnp
+
+    import obman_train_tpu.ops.pallas.chamfer_kernel as ck
+    from obman_train_tpu.ops import chamfer
+
+    # run the kernels in interpret mode on CPU
+    orig = ck.pallas_chamfer_min_sqdist
+    monkeypatch.setattr(
+        ck, "pallas_chamfer_min_sqdist",
+        lambda x, y, **kw: orig(x, y, **{**kw, "interpret": True}),
+    )
+    x = jnp.asarray(rng.normal(0, 40, (2, 300, 3)), jnp.float32)
+    y = jnp.asarray(rng.normal(0, 40, (2, 257, 3)), jnp.float32)
+
+    def loss(up):
+        def f(a, b):
+            l1, l2 = chamfer.chamfer_loss(a, b, use_pallas=up)
+            return jnp.sum(l1) + 2.0 * jnp.sum(l2)
+        return f
+
+    gp = jax.grad(loss(True), argnums=(0, 1))(x, y)
+    gx = jax.grad(loss(False), argnums=(0, 1))(x, y)
+    np.testing.assert_allclose(np.asarray(gp[0]), np.asarray(gx[0]),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(gx[1]),
+                               rtol=1e-5, atol=1e-6)
