@@ -359,7 +359,10 @@ def main(argv=None):
                 BatchLoader(
                     ds, batch_size=batch_size, shuffle=train_it,
                     drop_last=True, num_workers=cfg.data.workers,
-                    seed=cfg.train.manual_seed,
+                    # multi-host: each process loads a distinct stream; the
+                    # global batch is assembled in parallel.shard_batch
+                    seed=cfg.train.manual_seed
+                    + 7919 * jax.process_index(),
                 )
             )
             metas.append(loader_meta(name, split))

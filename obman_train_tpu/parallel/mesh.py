@@ -50,8 +50,19 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: dict, mesh: Mesh, axis: str = "data") -> dict:
-    """Device-put a host batch with the leading dim sharded over ``axis``."""
+    """Device-put a host batch with the leading dim sharded over ``axis``.
+
+    Single-host: a plain sharded device_put.  Multi-host (after
+    ``jax.distributed.initialize``, --distributed): each process passes its
+    LOCAL per-host batch and the global array is assembled across hosts —
+    the per-host loaders are seeded per process so shards differ.
+    """
     sharding = batch_sharding(mesh, axis)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(sharding, x),
+            batch,
+        )
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch
     )
