@@ -117,10 +117,10 @@ def compute_contact_loss(
 
     obj_triangles = obj_verts[:, obj_faces]  # (B, F, 3, 3)
     if jax.default_backend() == "tpu":
-        # Pallas kernel: ~11x vs the XLA path at the reference contact
-        # config (B=256, 778 verts x 1280 tris; sustained v5e timing — the
-        # XLA path materializes the (B, P, T) interaction in HBM), exact
-        # agreement (see ops/pallas/raytri_kernel.py).
+        # Pallas kernel: ~8.4x vs the XLA path at the reference contact
+        # config (B=256, 778 verts x 1280 tris; warmed sustained v5e
+        # timing, 31.2 -> 3.7 ms — the XLA path materializes the (B, P, T)
+        # interaction in HBM), exact agreement (ops/pallas/raytri_kernel.py).
         from obman_train_tpu.ops.pallas.raytri_kernel import (
             pallas_mesh_contains_points,
         )
