@@ -11,6 +11,8 @@ import pytest
 pytest.importorskip("PIL")
 from PIL import Image  # noqa: E402
 
+pytestmark = pytest.mark.fast
+
 
 def write_jpg(path, size=(256, 256)):
     os.makedirs(os.path.dirname(path), exist_ok=True)

@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 
 from obman_train_tpu.assets import (
     cotangent_laplacian,
@@ -6,6 +7,8 @@ from obman_train_tpu.assets import (
     load_contact_zones,
     zone_masks,
 )
+
+pytestmark = pytest.mark.fast
 
 
 def test_icosphere_counts():

@@ -13,6 +13,8 @@ from obman_train_tpu.data import (
 from obman_train_tpu.data.loader import derive_spec, loader_meta, to_model_batch
 from obman_train_tpu.data import transforms as T
 
+pytestmark = pytest.mark.fast
+
 
 def all_queries(ds):
     return ds.all_queries

@@ -1,5 +1,6 @@
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from obman_train_tpu.assets import icosphere, cotangent_laplacian
 from obman_train_tpu.ops.chamfer import (
@@ -8,6 +9,8 @@ from obman_train_tpu.ops.chamfer import (
 )
 from obman_train_tpu.ops.inside import batch_mesh_contains_points
 from obman_train_tpu.ops.mesh import edge_loss, laplacian_loss, meshiou, thresh_iou
+
+pytestmark = pytest.mark.fast
 
 
 def brute_pairwise(x, y):

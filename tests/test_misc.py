@@ -1,7 +1,6 @@
 import numpy as np
 import pytest
 
-
 def test_bfloat16_encoder_path(rng):
     """bf16 compute dtype must keep MANO outputs f32 and losses finite."""
     import jax
@@ -33,6 +32,7 @@ def test_bfloat16_encoder_path(rng):
     assert np.isfinite(float(total))
 
 
+@pytest.mark.fast
 def test_host_preprocess(rng):
     from obman_train_tpu.demo.preprocess import prepare_input, preprocess_frame
 
@@ -44,6 +44,7 @@ def test_host_preprocess(rng):
     assert prepared.min() >= -0.5 and prepared.max() <= 0.5
 
 
+@pytest.mark.fast
 def test_tables(tmp_path):
     import json
 
@@ -72,6 +73,7 @@ def test_tables(tmp_path):
     assert "<table" in render_html(rows)
 
 
+@pytest.mark.fast
 def test_log_line_roundtrip():
     from obman_train_tpu.utils.logging import format_log_line, parse_log_line
 
@@ -82,6 +84,7 @@ def test_log_line_roundtrip():
     assert vals["auc"] == pytest.approx(0.25)
 
 
+@pytest.mark.fast
 def test_eval_util_protocol(rng):
     from obman_train_tpu.train.metrics import EvalUtil
 

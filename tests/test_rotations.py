@@ -1,8 +1,11 @@
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from obman_train_tpu.ops.rotations import rodrigues, rotmat_to_axis_angle
 from tests.reference_mano import rodrigues_np
+
+pytestmark = pytest.mark.fast
 
 
 def test_rodrigues_matches_classic_formula(rng):
