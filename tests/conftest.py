@@ -25,3 +25,8 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+# Persistent compilation cache: the suite is dominated by jit compiles
+# (~10 of its ~13 minutes); repeat runs reuse compiled executables.
+jax.config.update("jax_compilation_cache_dir", "/tmp/obman_jax_compile_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
