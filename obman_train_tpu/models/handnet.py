@@ -33,7 +33,7 @@ from obman_train_tpu.models.branches import AbsoluteBranch, AtlasBranch, ManoBra
 from obman_train_tpu.models.losses import compute_atlas_loss, compute_mano_loss, mse
 from obman_train_tpu.models.mano import ManoParams
 from obman_train_tpu.models.resnet import resnet18, resnet50
-from obman_train_tpu.ops.chamfer import chamfer_min_sqdist
+from obman_train_tpu.ops.chamfer import min_sqdist_to
 from obman_train_tpu.ops.contact import compute_contact_loss
 from obman_train_tpu.ops.mesh import meshiou
 
@@ -277,9 +277,9 @@ class HandNet(nn.Module):
                 )
                 if not no_loss:
                     if spec.has_verts3d and spec.has_objpoints3d:
-                        dist_h2o_gt = chamfer_min_sqdist(
+                        dist_h2o_gt = min_sqdist_to(
                             batch["verts3d"], batch["objpoints3d"]
-                        )[0]
+                        )
                         contact_ious, contact_auc = meshiou(
                             dist_h2o_gt, contact_infos["min_dists"]
                         )

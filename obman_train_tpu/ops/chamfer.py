@@ -160,6 +160,18 @@ _pallas_min_sqdists_argmin.defvjp(
 )
 
 
+def min_sqdist_to(x: jnp.ndarray, y: jnp.ndarray, use_pallas="auto"):
+    """Per-x min squared distance to ``y`` (B, N) — metric-only: inputs are
+    stop-gradiented so the cheaper min-only kernel (no argmin epilogue, ~2x
+    faster) is used even under AD.  Used for the GT hand-object distances
+    feeding meshiou (reference handnet.py:348-362)."""
+    x = jax.lax.stop_gradient(x)
+    y = jax.lax.stop_gradient(y)
+    if _use_pallas(x.shape[0] * x.shape[1] * y.shape[1], use_pallas):
+        return _pallas_min_sqdists(x, y)[0]
+    return jnp.min(batch_pairwise_sqdist(x, y), axis=2)
+
+
 def chamfer_loss(preds: jnp.ndarray, gts: jnp.ndarray, use_pallas="auto"):
     """Reference ChamferLoss.forward semantics (atlasutils.py:11-18).
 
