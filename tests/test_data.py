@@ -228,3 +228,24 @@ def test_uint8_pipeline_matches_float(rng):
     assert u.dtype == np.uint8
     back = u.astype(np.float32) / 255.0 - 0.5
     np.testing.assert_allclose(back, f, atol=1 / 255 / 2 + 1e-6)
+
+
+def test_dataset_visualizers(tmp_path):
+    """The four dataset sanity harnesses render on the synthetic adapter
+    (reference handataset.py:425-629)."""
+    import os
+
+    from obman_train_tpu.data.factory import get_dataset
+    from obman_train_tpu.data.visualize import (
+        visualize_3d_proj,
+        visualize_3d_transformed,
+        visualize_original,
+        visualize_transformed,
+    )
+
+    ds = get_dataset("synthetic", "train", meta={"size": 4})
+    ds.reseed(1)
+    for fn in (visualize_original, visualize_transformed,
+               visualize_3d_transformed, visualize_3d_proj):
+        p = fn(ds, 1, str(tmp_path / f"{fn.__name__}.png"))
+        assert os.path.getsize(p) > 1000, fn.__name__
