@@ -191,3 +191,94 @@ def test_affine_transform_matches_reference(g):
         )
         np.testing.assert_allclose(total, g["affine_total"][i], rtol=1e-5, atol=1e-5)
         np.testing.assert_allclose(post, g["affine_post"][i], rtol=1e-5, atol=1e-5)
+
+
+def test_atlas_loss_matches_reference(g, x64):
+    """compute_atlas_loss vs the executed reference AtlasLoss.compute_loss
+    (atlasbranch.py:170-287): values and gradients, trans/scale/edge path."""
+    from obman_train_tpu.config import AtlasConfig
+    from obman_train_tpu.models.losses import compute_atlas_loss
+
+    cfg = AtlasConfig(
+        lambda_atlas=0.3, final_lambda_atlas=0.25, trans_weight=0.2,
+        scale_weight=0.15, lambda_regul_edges=0.1, predict_trans=True,
+        predict_scale=True,
+    )
+    batch = {"objpoints3d": jnp.asarray(g["atlas_target"])}
+    faces = jnp.asarray(g["ico_faces"])
+
+    def total(centered, trans, scale, obj):
+        preds = {
+            "objpointscentered3d": centered,
+            "objtrans": trans,
+            "objscale": scale,
+            "objpoints3d": obj,
+        }
+        final, losses = compute_atlas_loss(
+            preds, batch, cfg, has_objpoints3d=True, has_center3d=False,
+            obj_faces=faces, laplacian=None,
+        )
+        return final, losses
+
+    args = (
+        jnp.asarray(g["atlas_pred_centered"]),
+        jnp.asarray(g["atlas_pred_trans"]),
+        jnp.asarray(g["atlas_pred_scale"]),
+        jnp.asarray(g["atlas_pred_obj"]),
+    )
+    final, losses = total(*args)
+    np.testing.assert_allclose(
+        np.asarray(final), g["atlas_full/final"], rtol=1e-9
+    )
+    key_map = {
+        "atlas_trans3d": "atlas_trans3d",
+        "atlas_scale3d": "atlas_scale3d",
+        "final_chamfer_loss": "final_chamfer_loss",
+        "atlas_edge_regul": "atlas_edge_regul",
+        "atlas_objpoints3d": "atlas_objpoints3d",
+    }
+    for ours, ref in key_map.items():
+        np.testing.assert_allclose(
+            np.asarray(losses[ours]), g[f"atlas_full/{ref}"], rtol=1e-9,
+            err_msg=ours,
+        )
+    grads = jax.grad(lambda *a: total(*a)[0], argnums=(0, 1, 2, 3))(*args)
+    for got, name in zip(
+        grads, ("objpointscentered3d", "objtrans", "objscale", "objpoints3d")
+    ):
+        np.testing.assert_allclose(
+            np.asarray(got), g[f"atlas_full/grad_{name}"],
+            rtol=1e-7, atol=1e-12, err_msg=name,
+        )
+
+
+def test_atlas_loss_simple_path_matches_reference(g, x64):
+    """The no-trans branch (atlasbranch.py:257-267)."""
+    from obman_train_tpu.config import AtlasConfig
+    from obman_train_tpu.models.losses import compute_atlas_loss
+
+    cfg = AtlasConfig(lambda_atlas=0.4, final_lambda_atlas=None,
+                      predict_trans=False, predict_scale=False)
+    batch = {"objpoints3d": jnp.asarray(g["atlas_target"])}
+
+    def total(obj):
+        final, losses = compute_atlas_loss(
+            {"objpoints3d": obj}, batch, cfg, has_objpoints3d=True,
+            has_center3d=False, obj_faces=None, laplacian=None,
+        )
+        return final, losses
+
+    obj = jnp.asarray(g["atlas_pred_obj"])
+    final, losses = total(obj)
+    np.testing.assert_allclose(
+        np.asarray(final), g["atlas_simple/final"], rtol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(losses["atlas_objpoints3d"]),
+        g["atlas_simple/atlas_objpoints3d"], rtol=1e-9,
+    )
+    gobj = jax.grad(lambda o: total(o)[0])(obj)
+    np.testing.assert_allclose(
+        np.asarray(gobj), g["atlas_simple/grad_objpoints3d"],
+        rtol=1e-7, atol=1e-12,
+    )

@@ -212,6 +212,58 @@ def main():
     out["lap_loss"] = lap_loss.numpy()
     out["lap_L_dense"] = np.asarray(lap.L[:642, :642].todense())
 
+    # ---- AtlasLoss.compute_loss (atlasbranch.py:170-287) ------------------
+    # lambda_laplacian stays 0: the legacy autograd Function can't be called
+    # in modern torch; the Laplacian operator itself is captured above.
+    from mano_train.networks.branches.atlasbranch import AtlasLoss
+    from handobjectdatasets.queries import TransQueries
+
+    Bq = 2
+    target_obj = rng.normal(scale=30.0, size=(Bq, 600, 3)) + np.array(
+        [4.0, -2.0, 55.0]
+    )
+    pred_centered = rng.normal(scale=28.0, size=(Bq, 642, 3))
+    pred_trans = rng.normal(scale=10.0, size=(Bq, 3))
+    pred_scale = rng.uniform(0.8, 1.3, size=(Bq, 1))
+    pred_obj = pred_scale[:, :, None] * pred_centered + pred_trans[:, None, :]
+    out["atlas_target"] = target_obj
+    out["atlas_pred_centered"] = pred_centered
+    out["atlas_pred_trans"] = pred_trans
+    out["atlas_pred_scale"] = pred_scale
+    out["atlas_pred_obj"] = pred_obj
+
+    atlas_loss = AtlasLoss(
+        lambda_atlas=0.3, final_lambda_atlas=0.25, trans_weight=0.2,
+        scale_weight=0.15, edge_regul_lambda=0.1,
+    )
+    t_preds = {
+        "objpointscentered3d": torch.tensor(pred_centered, requires_grad=True),
+        "objtrans": torch.tensor(pred_trans, requires_grad=True),
+        "objscale": torch.tensor(pred_scale, requires_grad=True),
+        "objpoints3d": torch.tensor(pred_obj, requires_grad=True),
+        "objfaces": torch.tensor(ico_faces, dtype=torch.long),
+    }
+    t_target = {TransQueries.objpoints3d: torch.tensor(target_obj)}
+    final, alosses = atlas_loss.compute_loss(t_preds, t_target)
+    final.backward()
+    out["atlas_full/final"] = final.detach().numpy()
+    for k in ("atlas_trans3d", "atlas_scale3d", "final_chamfer_loss",
+              "atlas_edge_regul", "atlas_objpoints3d"):
+        out[f"atlas_full/{k}"] = alosses[k].detach().numpy()
+    for name in ("objpointscentered3d", "objtrans", "objscale", "objpoints3d"):
+        out[f"atlas_full/grad_{name}"] = t_preds[name].grad.numpy()
+
+    # no-trans path (atlasbranch.py:257-267)
+    simple_loss = AtlasLoss(lambda_atlas=0.4, final_lambda_atlas=0)
+    s_pred = {"objpoints3d": torch.tensor(pred_obj, requires_grad=True)}
+    final_s, slosses = simple_loss.compute_loss(s_pred, t_target)
+    final_s.backward()
+    out["atlas_simple/final"] = final_s.detach().numpy()
+    out["atlas_simple/atlas_objpoints3d"] = (
+        slosses["atlas_objpoints3d"].detach().numpy()
+    )
+    out["atlas_simple/grad_objpoints3d"] = s_pred["objpoints3d"].grad.numpy()
+
     # ---- get_affine_transform (handutils.py:63-101) -----------------------
     K = 16
     centers2d = rng.uniform(40, 220, size=(K, 2))
