@@ -329,41 +329,65 @@ def points_from_mesh(
 
 
 def fast_load_obj(file_obj) -> list:
-    """Minimal wavefront parser -> [{'vertices', 'faces'}] (replacement for
-    loadutils.fast_load_obj; handles v/f lines with polygon fan
-    triangulation and 'o' object splits)."""
+    """Wavefront parser -> [{'vertices', 'faces'}], matching the reference
+    ``loadutils.fast_load_obj`` (loadutils.py:3-123, itself trimesh-derived)
+    exactly — including its quirks, verified by executed-reference goldens:
+
+    - face corners are deduplicated by their FULL ``v/vt/vn`` token, so the
+      same position referenced with different normals/uvs becomes multiple
+      vertices;
+    - output vertices are ordered by the lexicographic sort of those
+      tokens (so "10" sorts before "2");
+    - quads triangulate as (0,1,2),(2,3,0); 'o' lines split objects.
+    """
+    if isinstance(file_obj, str):
+        with open(file_obj) as f:
+            text = f.read()
+    else:
+        text = file_obj.read()
+    if hasattr(text, "decode"):
+        text = text.decode("utf-8")
+    text = text.replace("\r\n", "\n").replace("\r", "\n") + " \n"
+
     meshes = []
-    verts: list = []
-    faces: list = []
-    base = 0
+    positions: list = []
+    corner_pos: list = []        # position per distinct face token
+    face_idx: list = []          # flat face corner indices into corner_pos
+    remap: dict = {}
 
     def flush():
-        nonlocal verts, faces, base
-        if verts:
+        nonlocal corner_pos, face_idx, remap
+        if face_idx:
+            vertices = np.asarray(corner_pos, np.float64).reshape(-1, 3)
+            faces = np.asarray(face_idx, np.int64).reshape(-1, 3)
+            keys = np.asarray(list(remap.keys()))
+            values = np.asarray(list(remap.values()))
+            vert_order = values[keys.argsort()]
+            face_order = np.zeros(len(vertices), np.int64)
+            face_order[vert_order] = np.arange(len(vertices), dtype=np.int64)
             meshes.append(
-                {
-                    "vertices": np.asarray(verts, np.float64),
-                    "faces": np.asarray(faces, np.int64),
-                }
+                {"vertices": vertices[vert_order], "faces": face_order[faces]}
             )
-            base += len(verts)
-            verts, faces = [], []
+        corner_pos, face_idx, remap = [], [], {}
 
-    if isinstance(file_obj, str):
-        file_obj = open(file_obj)
-    with file_obj:
-        for line in file_obj:
-            parts = line.split()
-            if not parts:
-                continue
-            if parts[0] == "o":
-                flush()
-            elif parts[0] == "v":
-                verts.append([float(x) for x in parts[1:4]])
-            elif parts[0] == "f":
-                ids = [int(p.split("/")[0]) - 1 - base for p in parts[1:]]
-                for k in range(1, len(ids) - 1):
-                    faces.append([ids[0], ids[k], ids[k + 1]])
+    for line in text.split("\n"):
+        parts = line.strip().split()
+        if len(parts) < 2:
+            continue
+        if parts[0] == "v":
+            positions.append([float(x) for x in parts[1:4]])
+        elif parts[0] == "f":
+            ft = parts[1:]
+            if len(ft) == 4:
+                ft = [ft[0], ft[1], ft[2], ft[2], ft[3], ft[0]]
+            for token in ft:
+                if token not in remap:
+                    remap[token] = len(remap)
+                    v_id = int(token.split("/")[0]) - 1
+                    corner_pos.append(positions[v_id])
+                face_idx.append(remap[token])
+        elif parts[0] == "o":
+            flush()
     flush()
     return meshes
 

@@ -282,3 +282,72 @@ def test_atlas_loss_simple_path_matches_reference(g, x64):
         np.asarray(gobj), g["atlas_simple/grad_objpoints3d"],
         rtol=1e-7, atol=1e-12,
     )
+
+
+def test_meshiou_matches_reference(g, x64):
+    from obman_train_tpu.ops.mesh import meshiou
+
+    ious, auc = meshiou(
+        jnp.asarray(g["meshiou_gt"]), jnp.asarray(g["meshiou_pred"])
+    )
+    # reference batch_ious is per-threshold batch means (contactloss.py:46),
+    # computed in f32 -> f32-level tolerance
+    np.testing.assert_allclose(
+        np.asarray(ious), g["meshiou_batch_ious"], rtol=1e-6, atol=1e-7
+    )
+    np.testing.assert_allclose(np.asarray(auc), g["meshiou_auc"], rtol=1e-6)
+
+
+def test_annot_helpers_match_reference(g):
+    from obman_train_tpu.data.transforms import (
+        get_annot_center,
+        get_annot_scale,
+        transform_coords,
+    )
+
+    for i, pts in enumerate(g["annot_pts"]):
+        np.testing.assert_allclose(
+            get_annot_scale(pts), g["annot_scales"][i], rtol=1e-12
+        )
+        np.testing.assert_array_equal(
+            get_annot_center(pts), g["annot_centers"][i]
+        )
+    np.testing.assert_array_equal(
+        transform_coords(g["annot_pts"][0], g["tc_affine"]), g["tc_fwd"]
+    )
+    np.testing.assert_array_equal(
+        transform_coords(g["annot_pts"][0], g["tc_affine"], invert=True),
+        g["tc_inv"],
+    )
+
+
+def test_fast_load_obj_matches_reference(g, tmp_path):
+    from obman_train_tpu.data.transforms import fast_load_obj
+
+    text = g["obj_text"].tobytes().decode()
+    p = tmp_path / "demo.obj"
+    p.write_text(text)
+    mesh = fast_load_obj(str(p))[0]
+    np.testing.assert_allclose(mesh["vertices"], g["obj_vertices"])
+    np.testing.assert_array_equal(mesh["faces"], g["obj_faces"])
+
+
+def test_evalutil_matches_reference(g):
+    """PCK/EPE/AUC protocol vs the executed hand3d EvalUtil (zimeval.py:
+    21-129; the GPL original is run to produce fixtures, never copied)."""
+    from obman_train_tpu.train.metrics import EvalUtil
+
+    ev = EvalUtil()
+    for b in range(len(g["eval_gt"])):
+        ev.feed(g["eval_gt"][b], g["eval_pred"][b])
+    epe_mean_all, epe_joint, epe_median_all, auc, pck, thresholds = (
+        ev.get_measures(0, 50, 20)
+    )
+    np.testing.assert_allclose(epe_mean_all, g["eval_epe_mean_all"], rtol=1e-9)
+    np.testing.assert_allclose(epe_joint, g["eval_epe_mean_joint"], rtol=1e-9)
+    np.testing.assert_allclose(
+        epe_median_all, g["eval_epe_median_all"], rtol=1e-9
+    )
+    np.testing.assert_allclose(auc, g["eval_auc"], rtol=1e-9)
+    np.testing.assert_allclose(pck, g["eval_pck"], rtol=1e-9)
+    np.testing.assert_allclose(thresholds, g["eval_thresholds"], rtol=1e-12)

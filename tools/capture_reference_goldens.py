@@ -264,6 +264,68 @@ def main():
     )
     out["atlas_simple/grad_objpoints3d"] = s_pred["objpoints3d"].grad.numpy()
 
+    # ---- meshiou / thresh_ious (contactloss.py:20-47) ----------------------
+    gt_d = rng.uniform(0, 150, size=(3, 778)) ** 1.2  # squared-mm-like range
+    pr_d = gt_d * rng.uniform(0.3, 3.0, size=(3, 778))
+    batch_ious, iou_auc = contactloss.meshiou(
+        torch.tensor(gt_d), torch.tensor(pr_d)
+    )
+    out["meshiou_gt"] = gt_d
+    out["meshiou_pred"] = pr_d
+    out["meshiou_batch_ious"] = batch_ious.numpy()
+    out["meshiou_auc"] = np.float64(iou_auc)
+
+    # ---- handutils annot helpers + transform_coords (handutils.py:8-60) ---
+    annots = rng.uniform(10, 240, size=(5, 21, 2))
+    out["annot_pts"] = annots
+    out["annot_scales"] = np.array(
+        [handutils.get_annot_scale(a) for a in annots]
+    )
+    out["annot_centers"] = np.stack(
+        [handutils.get_annot_center(a) for a in annots]
+    )
+    aff = out_affine = np.array(
+        [[1.3, -0.2, 14.0], [0.25, 0.9, -7.0], [0.0, 0.0, 1.0]]
+    )
+    out["tc_affine"] = aff
+    out["tc_fwd"] = handutils.transform_coords(annots[0], aff)
+    out["tc_inv"] = handutils.transform_coords(annots[0], aff, invert=True)
+
+    # ---- fast_load_obj (loadutils.py:3-123) --------------------------------
+    import io as _io
+
+    from handobjectdatasets import loadutils
+
+    obj_text = (
+        "# demo\nv 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0.5\n"
+        "vn 0 0 1\nf 1//1 2//1 3//1\nf 1 3 4\n"
+    )
+    mesh = loadutils.fast_load_obj(_io.StringIO(obj_text))[0]
+    out["obj_text"] = np.frombuffer(obj_text.encode(), dtype=np.uint8)
+    out["obj_vertices"] = np.asarray(mesh["vertices"], np.float64)
+    out["obj_faces"] = np.asarray(mesh["faces"], np.int64)
+
+    # ---- EvalUtil protocol (evaluation/zimeval.py:21-129; GPL code is
+    # EXECUTED here to produce numeric fixtures — none of it is copied) ----
+    from mano_train.evaluation.zimeval import EvalUtil as RefEvalUtil
+
+    ev = RefEvalUtil()
+    kp_gt = rng.normal(0, 30, size=(4, 21, 3))
+    kp_pred = kp_gt + rng.normal(0, 12, size=(4, 21, 3))
+    for b in range(4):
+        ev.feed(torch.tensor(kp_gt[b]), torch.tensor(kp_pred[b]))
+    (epe_mean_all, epe_mean_joint, epe_median_all, auc_all, pck, thresholds) = (
+        ev.get_measures(0, 50, 20)
+    )
+    out["eval_gt"] = kp_gt
+    out["eval_pred"] = kp_pred
+    out["eval_epe_mean_all"] = np.asarray(epe_mean_all)
+    out["eval_epe_mean_joint"] = np.asarray(epe_mean_joint)
+    out["eval_epe_median_all"] = np.asarray(epe_median_all)
+    out["eval_auc"] = np.asarray(auc_all)
+    out["eval_pck"] = np.asarray(pck)
+    out["eval_thresholds"] = np.asarray(thresholds)
+
     # ---- get_affine_transform (handutils.py:63-101) -----------------------
     K = 16
     centers2d = rng.uniform(40, 220, size=(K, 2))
