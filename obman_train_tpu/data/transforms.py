@@ -121,6 +121,10 @@ def transform_img(
         np.arange(W_out, dtype=np.float64),
         indexing="ij",
     )
+    if resample == "nearest":
+        # PIL convention (what the reference's Image.transform(AFFINE)
+        # does, golden-verified): sample at inv @ (x+0.5, y+0.5), floor.
+        xs, ys = xs + 0.5, ys + 0.5
     src_x = inv[0, 0] * xs + inv[0, 1] * ys + inv[0, 2]
     src_y = inv[1, 0] * xs + inv[1, 1] * ys + inv[1, 2]
 
@@ -130,8 +134,8 @@ def transform_img(
     H, W = img_f.shape[:2]
 
     if resample == "nearest":
-        xi = np.round(src_x).astype(np.int64)
-        yi = np.round(src_y).astype(np.int64)
+        xi = np.floor(src_x).astype(np.int64)
+        yi = np.floor(src_y).astype(np.int64)
         valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
         out = np.zeros((H_out, W_out, img_f.shape[2]), np.float32)
         out[valid] = img_f[yi[valid], xi[valid]]

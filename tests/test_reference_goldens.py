@@ -351,3 +351,16 @@ def test_evalutil_matches_reference(g):
     np.testing.assert_allclose(auc, g["eval_auc"], rtol=1e-9)
     np.testing.assert_allclose(pck, g["eval_pck"], rtol=1e-9)
     np.testing.assert_allclose(thresholds, g["eval_thresholds"], rtol=1e-12)
+
+
+def test_pil_nearest_warp_matches_reference(g):
+    """transform_img(resample='nearest') reproduces the reference's PIL
+    Image.transform(AFFINE) warp bit-exactly (handutils.py:48-60)."""
+    from obman_train_tpu.data.transforms import transform_img
+
+    out = transform_img(
+        g["warp_img"], g["warp_affine"], (48, 48), resample="nearest"
+    )
+    np.testing.assert_array_equal(
+        np.round(out).astype(np.uint8), g["warp_out"]
+    )

@@ -326,6 +326,21 @@ def main():
     out["eval_pck"] = np.asarray(pck)
     out["eval_thresholds"] = np.asarray(thresholds)
 
+    # ---- transform_img: the reference's PIL AFFINE warp (handutils.py:
+    # 48-60, default NEAREST resampling) ------------------------------------
+    from PIL import Image
+
+    warp_img = rng.integers(0, 256, size=(64, 80, 3)).astype(np.uint8)
+    warp_total, _ = handutils.get_affine_transform(
+        np.array([40.0, 30.0]), 55.0, [48, 48], rot=0.35
+    )
+    warped = handutils.transform_img(
+        Image.fromarray(warp_img), warp_total, [48, 48]
+    )
+    out["warp_img"] = warp_img
+    out["warp_affine"] = warp_total
+    out["warp_out"] = np.asarray(warped)
+
     # ---- get_affine_transform (handutils.py:63-101) -----------------------
     K = 16
     centers2d = rng.uniform(40, 220, size=(K, 2))
