@@ -121,6 +121,11 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--host_folder", default=None,
                    help="web-hosting folder to mirror metric plots into "
                    "(reference expopts/monitoring.py:40-66)")
+    e.add_argument("--display_freq", type=int, default=500,
+                   help="qualitative figure every N batches "
+                   "(reference --test_display_freq)")
+    e.add_argument("--epoch_display_freq", type=int, default=1,
+                   help="render figures only every N epochs")
     e.add_argument("--evaluate", action="store_true")
     e.add_argument("--save_results", action="store_true")
     e.add_argument("--resume", nargs="+", default=None)
@@ -252,6 +257,8 @@ def args_to_config(args):
         save_results=args.save_results,
         mano_assets=args.mano_assets,
         host_folder=args.host_folder,
+        display_freq=args.display_freq,
+        epoch_display_freq=args.epoch_display_freq,
     )
 
 
