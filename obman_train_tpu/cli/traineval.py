@@ -121,6 +121,10 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--host_folder", default=None,
                    help="web-hosting folder to mirror metric plots into "
                    "(reference expopts/monitoring.py:40-66)")
+    e.add_argument("--loader_processes", action="store_true",
+                   help="spawned process workers for augmentation (the "
+                   "reference's DataLoader model; threads are the default "
+                   "— see data/loader.py for the measured trade-off)")
     e.add_argument("--display_freq", type=int, default=500,
                    help="qualitative figure every N batches "
                    "(reference --test_display_freq)")
@@ -370,6 +374,7 @@ def main(argv=None):
                     # global batch is assembled in parallel.shard_batch
                     seed=cfg.train.manual_seed
                     + 7919 * jax.process_index(),
+                    use_processes=args.loader_processes,
                 )
             )
             metas.append(loader_meta(name, split))

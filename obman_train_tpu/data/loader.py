@@ -15,13 +15,13 @@ and ``derive_spec`` builds the matching static BatchSpec.
 
 from __future__ import annotations
 
+import time
 from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
 
 from obman_train_tpu.data.queries import BaseQueries, TransQueries
-from obman_train_tpu.models.handnet import BatchSpec
 
 SIDE_TO_INT = {"right": 0, "left": 1}
 
@@ -70,7 +70,10 @@ def to_model_batch(batch: Dict) -> Dict[str, np.ndarray]:
     return out
 
 
-def derive_spec(batch: Dict, root: str = "wrist") -> BatchSpec:
+def derive_spec(batch: Dict, root: str = "wrist"):
+    # lazy import: worker processes import this module without pulling jax
+    from obman_train_tpu.models.handnet import BatchSpec
+
     return BatchSpec(
         has_joints3d="joints3d" in batch,
         has_verts3d="verts3d" in batch,
@@ -84,8 +87,48 @@ def derive_spec(batch: Dict, root: str = "wrist") -> BatchSpec:
     )
 
 
+# ---------------------------------------------------------------------------
+# Process-pool worker plumbing.  Workers are SPAWNED python interpreters with
+# the axon TPU plugin disabled (they never touch jax), each holding its own
+# copy of the dataset — the reference's torch-DataLoader worker model.
+# Measured trade-off on the synthetic pipeline: threads ~350 samples/s vs
+# processes ~310 (batch results are ~13 MB and the pickle/pipe transfer eats
+# the parallelism), so threads stay the default; processes pay off for
+# adapters whose per-sample work holds the GIL (pure-python decode/pickle).
+# ---------------------------------------------------------------------------
+
+_WORKER_DATASET = None
+_WORKER_EPOCH = None
+
+
+def _proc_init(dataset):
+    global _WORKER_DATASET, _WORKER_EPOCH
+    _WORKER_DATASET = dataset
+    _WORKER_EPOCH = None
+
+
+def _proc_ping(_):
+    time.sleep(0.3)  # hold the worker so every pool slot actually spawns
+    return True
+
+
+def _proc_load(idxs, epoch: int, model_batch: bool):
+    global _WORKER_EPOCH
+    ds = _WORKER_DATASET
+    if epoch != _WORKER_EPOCH:
+        if hasattr(ds, "reseed"):
+            ds.reseed(epoch)
+        _WORKER_EPOCH = epoch
+    out = collate([ds[int(i)] for i in idxs])
+    return to_model_batch(out) if model_batch else out
+
+
 class BatchLoader:
-    """Shuffling, drop-last batch iterator with threaded prefetch."""
+    """Shuffling, drop-last batch iterator with prefetch.
+
+    ``use_processes=True`` runs augmentation in spawned worker processes
+    (the reference's torch DataLoader model, traineval.py:223-230);
+    ``False`` uses threads (no spawn cost, fine for light pipelines)."""
 
     def __init__(
         self,
@@ -96,6 +139,7 @@ class BatchLoader:
         num_workers: int = 4,
         seed: int = 0,
         model_batch: bool = True,
+        use_processes: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -104,7 +148,54 @@ class BatchLoader:
         self.num_workers = max(1, num_workers)
         self.seed = seed
         self.model_batch = model_batch
+        self.use_processes = use_processes
+        self._pool = None
         self._epoch = 0
+
+    def _ensure_pool(self):
+        """Spawn the persistent process pool with a jax-free child env:
+        PALLAS_AXON_POOL_IPS gates the axon PJRT registration in
+        sitecustomize, and JAX_PLATFORMS=cpu is belt-and-braces — children
+        must never contend for the TPU."""
+        if self._pool is not None:
+            return self._pool
+        import multiprocessing
+        import os
+        from concurrent.futures import ProcessPoolExecutor
+
+        ctx = multiprocessing.get_context("spawn")
+        saved = {
+            k: os.environ.pop(k, None)
+            for k in ("PALLAS_AXON_POOL_IPS", "JAX_PLATFORMS")
+        }
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        try:
+            pool = ProcessPoolExecutor(
+                self.num_workers, mp_context=ctx,
+                initializer=_proc_init, initargs=(self.dataset,),
+            )
+            # submit would spawn workers lazily AFTER the env is restored;
+            # force every slot to spawn inside this window
+            list(pool.map(_proc_ping, range(self.num_workers)))
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
+        self._pool = pool
+        return pool
+
+    def close(self):
+        if self._pool is not None:
+            self._pool.shutdown()
+            self._pool = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def __len__(self):
         n = len(self.dataset)
@@ -128,12 +219,30 @@ class BatchLoader:
             for i in range(n_batches)
         ]
 
+        from collections import deque
+
+        if self.use_processes:
+            pool = self._ensure_pool()
+
+            def submit(idxs):
+                return pool.submit(
+                    _proc_load, idxs, self._epoch, self.model_batch
+                )
+
+            window = self.num_workers * 2
+            futures = deque(submit(b) for b in batches[:window])
+            next_submit = min(window, n_batches)
+            while futures:
+                yield futures.popleft().result()
+                if next_submit < n_batches:
+                    futures.append(submit(batches[next_submit]))
+                    next_submit += 1
+            return
+
         def load(idxs):
             samples = [self.dataset[int(i)] for i in idxs]
             out = collate(samples)
             return to_model_batch(out) if self.model_batch else out
-
-        from collections import deque
 
         with ThreadPoolExecutor(self.num_workers) as pool:
             # Keep a bounded window of in-flight batches (prefetch depth 2x).

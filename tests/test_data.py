@@ -249,3 +249,28 @@ def test_dataset_visualizers(tmp_path):
                visualize_3d_transformed, visualize_3d_proj):
         p = fn(ds, 1, str(tmp_path / f"{fn.__name__}.png"))
         assert os.path.getsize(p) > 1000, fn.__name__
+
+
+def test_process_worker_loader():
+    """use_processes=True: spawned jax-free workers produce batches
+    identical in structure (and deterministic content) to the thread path."""
+    from obman_train_tpu.data.factory import get_dataset
+    from obman_train_tpu.data.loader import BatchLoader
+
+    def batches(use_processes):
+        ds = get_dataset("synthetic", "train", meta={"size": 8})
+        loader = BatchLoader(
+            ds, batch_size=4, num_workers=2, seed=0, shuffle=True,
+            use_processes=use_processes,
+        )
+        out = list(loader)
+        loader.close()
+        return out
+
+    threaded = batches(False)
+    processed = batches(True)
+    assert len(threaded) == len(processed) == 2
+    for bt, bp in zip(threaded, processed):
+        assert set(bt) == set(bp)
+        for k in bt:
+            np.testing.assert_array_equal(np.asarray(bt[k]), np.asarray(bp[k]))
