@@ -33,10 +33,47 @@ def main(argv=None):
     parser.add_argument("--atlas_separate_encoder", action="store_true")
     parser.add_argument("--atlas_resume_remap", action="store_true",
                         help="remap base_net.* to atlas_base_net.*")
+    parser.add_argument("--opt_pkl", default=None,
+                        help="reference opt.pkl beside the checkpoint; when "
+                        "given (or auto-detected next to the checkpoint) the "
+                        "model flags above are filled from it with the "
+                        "reference's backfill defaults (reload.py:42-100)")
     args = parser.parse_args(argv)
 
     import numpy as np
     import torch
+
+    opt_pkl = args.opt_pkl
+    if opt_pkl is None:
+        candidate = os.path.join(
+            os.path.dirname(os.path.abspath(args.torch_checkpoint)), "opt.pkl"
+        )
+        if os.path.exists(candidate):
+            opt_pkl = candidate
+    if opt_pkl:
+        import pickle
+
+        with open(opt_pkl, "rb") as f:
+            opts = pickle.load(f)
+        if not isinstance(opts, dict):  # argparse.Namespace in old pickles
+            opts = vars(opts)
+        # reference backfill defaults for old checkpoints (reload.py:42-72)
+        get = lambda k, d: opts.get(k, d)
+        args.resnet_version = int(get("resnet_version", 18))
+        args.mano_comps = 30  # release models (reload.py:93)
+        args.hidden_neurons = list(get("hidden_neurons", [1024, 256]))
+        args.mano_use_shape = bool(get("use_shape", args.mano_use_shape))
+        args.atlas_predict_trans = bool(get("atlas_predict_trans", False))
+        args.atlas_predict_scale = bool(get("atlas_predict_scale", False))
+        args.atlas_separate_encoder = bool(
+            get("atlas_separate_encoder", False)
+        )
+        args.mano_lambda_joints2d = get("mano_lambda_joints2d", 0) or None
+        args.absolute_lambda = get("absolute_lambda", 0) or None
+        print(f"Filled model flags from {opt_pkl}")
+    else:
+        args.mano_lambda_joints2d = None
+        args.absolute_lambda = None
 
     from obman_train_tpu.cli.traineval import load_mano_pair
     from obman_train_tpu.config import (
@@ -57,10 +94,12 @@ def main(argv=None):
         mano_assets=args.mano_assets,
         model=ModelConfig(
             resnet_version=args.resnet_version,
+            absolute_lambda=args.absolute_lambda,
             mano=ManoConfig(
                 ncomps=args.mano_comps,
                 base_neurons=tuple(args.hidden_neurons),
                 use_shape=args.mano_use_shape,
+                lambda_joints2d=args.mano_lambda_joints2d,
             ),
             atlas=AtlasConfig(
                 predict_trans=args.atlas_predict_trans,

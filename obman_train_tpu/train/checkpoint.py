@@ -289,14 +289,21 @@ def import_torch_handnet(
                       state, f"atlas_branch.decoder.residual{blk}.bn{i}")
 
     # --- atlas trans/scale heads ---
-    if has("atlas_branch.decode_trans.0.weight"):
+    # Only import heads the flax model actually has — writing keys absent
+    # from the template would smuggle unused branches into the checkpoint
+    # and break strict restores later.
+    if has("atlas_branch.decode_trans.0.weight") and (
+        "atlas_branch/decode_trans/dense_0/kernel" in flat_p
+    ):
         _dense(flat_p, "atlas_branch/decode_trans/dense_0",
                state["atlas_branch.decode_trans.0.weight"],
                state["atlas_branch.decode_trans.0.bias"])
         _dense(flat_p, "atlas_branch/decode_trans/final",
                state["atlas_branch.decode_trans.2.weight"],
                state["atlas_branch.decode_trans.2.bias"])
-    if has("atlas_branch.decode_scale.0.weight"):
+    if has("atlas_branch.decode_scale.0.weight") and (
+        "atlas_branch/decode_scale_hidden/kernel" in flat_p
+    ):
         _dense(flat_p, "atlas_branch/decode_scale_hidden",
                state["atlas_branch.decode_scale.0.weight"],
                state["atlas_branch.decode_scale.0.bias"])
@@ -309,7 +316,9 @@ def import_torch_handnet(
         ("absolute_branch", "absolute_branch"),
         ("scaletrans_branch", "scaletrans_branch"),
     ):
-        if has(f"{torch_name}.decoder.0.weight"):
+        if has(f"{torch_name}.decoder.0.weight") and (
+            f"{flax_name}/dense_0/kernel" in flat_p
+        ):
             _dense(flat_p, f"{flax_name}/dense_0",
                    state[f"{torch_name}.decoder.0.weight"],
                    state[f"{torch_name}.decoder.0.bias"])
@@ -317,7 +326,7 @@ def import_torch_handnet(
                    state[f"{torch_name}.final_layer.weight"],
                    state[f"{torch_name}.final_layer.bias"])
 
-    if has("atlas_adapter.weight"):
+    if has("atlas_adapter.weight") and "atlas_adapter/kernel" in flat_p:
         _dense(flat_p, "atlas_adapter", state["atlas_adapter.weight"],
                state["atlas_adapter.bias"])
 

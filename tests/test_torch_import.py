@@ -140,3 +140,50 @@ def test_resnet_importer_fills_all_params(rng):
         for k in flat_p
     )
     assert changed == len(flat_p), f"only {changed}/{len(flat_p)} imported"
+
+
+def test_importer_ignores_heads_absent_from_template(rng):
+    """Torch checkpoints may carry heads (scaletrans/absolute/decode_*)
+    the configured flax model doesn't have; the importer must not smuggle
+    them into the variables (it broke strict orbax restores)."""
+    import jax
+    import numpy as np
+
+    from obman_train_tpu.assets import synthetic_mano_assets
+    from obman_train_tpu.config import ModelConfig
+    from obman_train_tpu.models import (
+        BatchSpec,
+        build_handnet,
+        mano_params_from_assets,
+    )
+    from obman_train_tpu.train.checkpoint import import_torch_handnet
+
+    net = build_handnet(
+        ModelConfig(),
+        mano_params_from_assets(synthetic_mano_assets("right")),
+        mano_params_from_assets(synthetic_mano_assets("left")),
+    )
+    spec = BatchSpec(has_joints3d=False, has_verts3d=False,
+                     has_objpoints3d=False, has_camintrs=False,
+                     has_center3d=False)
+    batch = {"images": np.zeros((1, 64, 64, 3), np.float32),
+             "sides": np.zeros((1,), np.int32)}
+    variables = net.init(
+        {"params": jax.random.PRNGKey(0), "points": jax.random.PRNGKey(1)},
+        batch, spec, no_loss=True, force_hand=True, force_objects=True,
+    )
+    sd = {
+        "scaletrans_branch.decoder.0.weight": rng.normal(size=(256, 512)),
+        "scaletrans_branch.decoder.0.bias": rng.normal(size=(256,)),
+        "scaletrans_branch.final_layer.weight": rng.normal(size=(3, 256)),
+        "scaletrans_branch.final_layer.bias": rng.normal(size=(3,)),
+        "atlas_branch.decode_trans.0.weight": rng.normal(size=(256, 512)),
+        "atlas_branch.decode_trans.0.bias": rng.normal(size=(256,)),
+        "atlas_branch.decode_trans.2.weight": rng.normal(size=(3, 256)),
+        "atlas_branch.decode_trans.2.bias": rng.normal(size=(3,)),
+        "atlas_adapter.weight": rng.normal(size=(512, 512)),
+        "atlas_adapter.bias": rng.normal(size=(512,)),
+    }
+    out = import_torch_handnet(sd, variables)
+    assert set(out["params"].keys()) == set(variables["params"].keys())
+    assert "decode_trans" not in out["params"]["atlas_branch"]
