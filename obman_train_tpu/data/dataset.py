@@ -347,11 +347,22 @@ class HandDataset:
         if BaseQueries.manoidxs in query:
             sample[BaseQueries.manoidxs] = self.pose_dataset.get_manoidxs(idx)
 
-        # Final image: photometric augment + warp + normalize(-0.5)
+        # Final image: photometric augment + warp + normalize(-0.5).
+        # Default path stays uint8 end-to-end through cv2 SIMD ops — the
+        # reference's torchvision/PIL chain is uint8 with per-op
+        # quantization too (handataset.py:371-407), and the float chain
+        # costs ~8x more host CPU (the input pipeline is the training
+        # bottleneck).  resample="nearest" (strict PIL-warp parity) and
+        # cv2-free installs use the float chain.
         if TransQueries.images in query:
-            img_f = np.asarray(img, np.float32) / 255.0
+            fast_u8 = self.resample == "bilinear" and T._have_cv2()
+            img_x = (
+                np.ascontiguousarray(img, np.uint8)
+                if fast_u8
+                else np.asarray(img, np.float32) / 255.0
+            )
             if self.train:
-                img_f = T.gaussian_blur(img_f, rng.random() * self.blur_radius)
+                img_x = T.gaussian_blur(img_x, rng.random() * self.blur_radius)
                 if self.device_augment:
                     # factors drawn as get_color_params (imgtrans.py:5-27),
                     # applied in-graph by the train step
@@ -369,15 +380,21 @@ class HandDataset:
                     )
                     sample["aug_order"] = np.int32(rng.integers(0, 24))
                 else:
-                    img_f = T.color_jitter(
-                        img_f, rng,
+                    jitter = T.color_jitter_u8 if fast_u8 else T.color_jitter
+                    img_x = jitter(
+                        img_x, rng,
                         brightness=self.brightness, contrast=self.contrast,
                         saturation=self.saturation, hue=self.hue,
                     )
-            warped = T.transform_img(
-                img_f, affinetrans, (self.inp_res, self.inp_res),
-                resample=self.resample,
-            )
+            if fast_u8:
+                warped = T.warp_affine_u8(
+                    img_x, affinetrans, (self.inp_res, self.inp_res)
+                )
+            else:
+                warped = T.transform_img(
+                    img_x, affinetrans, (self.inp_res, self.inp_res),
+                    resample=self.resample,
+                )
             if self.black_padding:
                 pad = int(self.inp_res * 0.2)
                 warped[0:pad, :] = 0
@@ -385,9 +402,16 @@ class HandDataset:
                 warped[:, 0:pad] = 0
                 warped[:, -pad:-1] = 0
             if self.emit_uint8:
-                sample[TransQueries.images] = np.clip(
-                    np.round(warped * 255.0), 0, 255
-                ).astype(np.uint8)
+                if fast_u8:
+                    sample[TransQueries.images] = warped
+                else:
+                    sample[TransQueries.images] = np.clip(
+                        np.round(warped * 255.0), 0, 255
+                    ).astype(np.uint8)
+            elif fast_u8:
+                sample[TransQueries.images] = (
+                    warped.astype(np.float32) / 255.0 - 0.5
+                )
             else:
                 sample[TransQueries.images] = (warped - 0.5).astype(np.float32)
 

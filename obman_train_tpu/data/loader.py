@@ -58,7 +58,7 @@ def to_model_batch(batch: Dict) -> Dict[str, np.ndarray]:
             if name == "images" and val.dtype == np.uint8:
                 out[name] = val  # normalize on device (4x cheaper h2d)
             else:
-                out[name] = val.astype(np.float32)
+                out[name] = val.astype(np.float32, copy=False)
     if "aug_factors" in batch:
         out["aug_factors"] = np.asarray(batch["aug_factors"], np.float32)
         # per-batch op order (the in-graph jitter uses one order per batch)
@@ -91,10 +91,11 @@ def derive_spec(batch: Dict, root: str = "wrist"):
 # Process-pool worker plumbing.  Workers are SPAWNED python interpreters with
 # the axon TPU plugin disabled (they never touch jax), each holding its own
 # copy of the dataset — the reference's torch-DataLoader worker model.
-# Measured trade-off on the synthetic pipeline: threads ~350 samples/s vs
-# processes ~310 (batch results are ~13 MB and the pickle/pipe transfer eats
-# the parallelism), so threads stay the default; processes pay off for
-# adapters whose per-sample work holds the GIL (pure-python decode/pickle).
+# Measured trade-off on the synthetic pipeline (single-core host): threads
+# win (no pickle/pipe transfer of the ~13 MB batch results), and the uint8
+# cv2 augmentation chain releases the GIL, so threads also scale on
+# multi-core hosts; processes pay off only for adapters whose per-sample
+# work holds the GIL (pure-python decode/pickle).
 # ---------------------------------------------------------------------------
 
 _WORKER_DATASET = None

@@ -91,8 +91,14 @@ class SyntheticDataset:
 
     def get_image(self, idx):
         rng = self._rng(idx)
-        img = (rng.random((self.img_res, self.img_res, 3)) * 60).astype(
-            np.uint8
+        # Raw-byte draw + shift (dark noise in 0..63): bounded integers use
+        # per-byte rejection sampling (~1 ms at 256^2x3) and the fixture's
+        # cost should resemble a real image decode, not bound the pipeline
+        # bench.
+        img = (
+            np.frombuffer(rng.bytes(self.img_res * self.img_res * 3), np.uint8)
+            .reshape(self.img_res, self.img_res, 3)
+            >> 2
         )
         joints2d = self.get_joints2d(idx)
         for x, y in joints2d.astype(int):

@@ -198,6 +198,47 @@ def test_native_warp_parity(rng):
     np.testing.assert_allclose(a, b, atol=1e-3)
 
 
+def test_uint8_fast_chain_matches_float_chain(rng):
+    """The uint8/cv2 photometric+warp fast path (the default bilinear
+    pipeline) stays within quantization tolerance of the float reference
+    implementations."""
+    cv2 = pytest.importorskip("cv2")  # noqa: F841
+    img_u8 = rng.integers(0, 255, (120, 90, 3)).astype(np.uint8)
+    img_f = img_u8.astype(np.float32) / 255.0
+
+    # per-op parity (uint8 quantizes per op; allow 2 LSB)
+    for u8_fn, f_fn, fac in (
+        (T.adjust_brightness_u8, T.adjust_brightness, 1.3),
+        (T.adjust_brightness_u8, T.adjust_brightness, 0.6),
+        (T.adjust_contrast_u8, T.adjust_contrast, 0.7),
+        (T.adjust_contrast_u8, T.adjust_contrast, 1.4),
+        (T.adjust_saturation_u8, T.adjust_saturation, 1.5),
+        (T.adjust_saturation_u8, T.adjust_saturation, 0.5),
+    ):
+        a = u8_fn(img_u8, fac).astype(np.float32) / 255.0
+        b = f_fn(img_f, fac)
+        assert np.abs(a - b).max() <= 2.5 / 255.0, (u8_fn.__name__, fac)
+    # hue: the float path routes through the same cv2 uint8 kernel
+    a = T.adjust_hue_u8(img_u8, 0.12).astype(np.float32) / 255.0
+    b = T.adjust_hue(img_f, 0.12)
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+    # same rng consumption -> same factor draws in both jitter twins
+    kw = dict(brightness=0.3, contrast=0.3, saturation=0.3, hue=0.1)
+    a = T.color_jitter_u8(
+        img_u8, np.random.default_rng(7), **kw
+    ).astype(np.float32) / 255.0
+    b = T.color_jitter(img_f, np.random.default_rng(7), **kw)
+    assert np.abs(a - b).max() <= 6.0 / 255.0  # 4 chained quantized ops
+
+    # warp: cv2 5-bit fixed-point interpolation vs exact float bilinear
+    aff, _ = T.get_affine_transform(np.array([50.0, 60.0]), 80.0, (64, 64),
+                                    rot=0.35)
+    a = T.warp_affine_u8(img_u8, aff, (64, 64)).astype(np.float32)
+    b = T.transform_img(img_u8, aff, (64, 64), use_native=False)
+    assert np.abs(a - b).max() <= 3.0
+
+
 def test_augmentation_deterministic_and_epoch_varying():
     """Samples are deterministic per (seed, epoch, idx) — safe under
     concurrent prefetch threads — and vary across epochs."""
