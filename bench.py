@@ -12,6 +12,7 @@ headline config, and writes all BASELINE.json benchmark configs to
   7. bfloat16 encoder path (+ numeric delta vs f32)
   8. large-point Chamfer: XLA vs Pallas kernel at 16k x 16k
   9. host input pipeline (BatchLoader samples/sec)
+ 10. end-to-end training throughput (loader + device step overlapped)
 
 Device configs carry an ``mfu_pct`` estimate (XLA cost-analysis FLOPs over
 the chip's dense bf16 peak).  Baseline target: >= 1000 frames/sec/chip on
@@ -392,6 +393,46 @@ def main():
             "samples_per_sec": n / dt, "workers": 8, "batch": 64,
             "samples": n,
         }
+
+    # 8) end-to-end training throughput: host loader feeding the device
+    #    step, losses read one step behind so host batch prep overlaps
+    #    device compute (train/loop.py's pipelining) — the samples/s a
+    #    user actually gets on one host + one chip.
+    ds = get_dataset(
+        "synthetic", "train", meta={"size": BENCH_PIPELINE_SIZE},
+        device_augment=True,
+    )
+    e2e_loader = BatchLoader(ds, batch_size=64, num_workers=2, seed=0)
+    first = next(iter(e2e_loader))
+    from obman_train_tpu.data.loader import derive_spec
+
+    e2e_spec = derive_spec(first)
+    net = nets["hand_object"]
+    tcfg = TrainConfig()
+    tx = make_optimizer(tcfg)
+    e2e_state = create_train_state(net, tx, first, e2e_spec)
+    e2e_step = make_train_step(net, tx, e2e_spec, donate=True)
+    key = jax.random.PRNGKey(0)
+
+    def run_epoch(state):
+        n, pending = 0, None
+        for batch in e2e_loader:
+            state, losses = e2e_step(state, batch, key)
+            if pending is not None:
+                float(pending["total_loss"])  # sync one step behind
+            pending = losses
+            n += batch["images"].shape[0]
+        float(pending["total_loss"])
+        return state, n
+
+    e2e_state, _ = run_epoch(e2e_state)  # compile + warm loader
+    t0 = time.perf_counter()
+    e2e_state, n = run_epoch(e2e_state)
+    dt = time.perf_counter() - t0
+    results["end_to_end_train"] = {
+        "samples_per_sec": n / dt, "batch": 64, "workers": 2,
+        "note": "synthetic loader + full train step, device_augment",
+    }
 
     with open("bench_details.json", "w") as f:
         json.dump(

@@ -353,6 +353,41 @@ def test_evalutil_matches_reference(g):
     np.testing.assert_allclose(thresholds, g["eval_thresholds"], rtol=1e-12)
 
 
+def test_mano_loss_matches_reference(g, x64):
+    """compute_mano_loss vs the executed reference ManoLoss
+    (manobranch.py:251-324): verts/joints MSE, shape-vs-zero,
+    pose[3:]-vs-zero, and their weighted accumulation.  (The reference's
+    pca term is unreachable — it reads preds["pcas"], never set by
+    ManoBranch.forward — so it has no golden; ours fixes the bug.)"""
+    from obman_train_tpu.config import ManoConfig
+    from obman_train_tpu.models.losses import compute_mano_loss
+
+    lv, lj, ls, lp = (float(x) for x in g["manoloss_lambdas"])
+    cfg = ManoConfig(
+        lambda_verts=lv, lambda_joints3d=lj, lambda_shape=ls,
+        lambda_pose_reg=lp, lambda_pca=None,
+    )
+    preds = {
+        k: jnp.asarray(g[f"manoloss_pred_{k}"])
+        for k in ("verts", "joints", "shape", "pose")
+    }
+    batch = {
+        "verts3d": jnp.asarray(g["manoloss_gt_verts3d"]),
+        "joints3d": jnp.asarray(g["manoloss_gt_joints3d"]),
+    }
+    total, losses = compute_mano_loss(
+        preds, batch, cfg,
+        has_verts3d=True, has_joints3d=True, has_pcas=False,
+    )
+    # the reference accumulates into torch.Tensor([0]) — float32 — so the
+    # total golden carries f32 rounding; the per-term goldens are f64
+    np.testing.assert_allclose(float(total), g["manoloss_total"], rtol=1e-6)
+    for name in ("mano_verts3d", "mano_joints3d", "mano_shape", "pose_reg"):
+        np.testing.assert_allclose(
+            float(losses[name]), g[f"manoloss_{name}"], rtol=1e-9
+        )
+
+
 def test_pil_nearest_warp_matches_reference(g):
     """transform_img(resample='nearest') reproduces the reference's PIL
     Image.transform(AFFINE) warp bit-exactly (handutils.py:48-60)."""

@@ -40,6 +40,14 @@ def _setup_reference_imports():
     tm.creation = types.SimpleNamespace(icosphere=None)
     tm.proximity = types.SimpleNamespace(closest_point=None)
     sys.modules["trimesh"] = tm
+    # Stub manopth (not installed): manobranch imports ManoLayer at module
+    # level, but ManoLoss (what we capture) never touches it.
+    manopth = types.ModuleType("manopth")
+    manolayer = types.ModuleType("manopth.manolayer")
+    manolayer.ManoLayer = object
+    manopth.manolayer = manolayer
+    sys.modules["manopth"] = manopth
+    sys.modules["manopth.manolayer"] = manolayer
     import torch
 
     # The reference calls .cuda() at def/ctor time (contactutils.py:65,
@@ -359,6 +367,48 @@ def main():
     out["affine_rots"] = rots
     out["affine_total"] = np.stack(totals)
     out["affine_post"] = np.stack(posts)
+
+    # ---- ManoLoss (manobranch.py:251-324) ---------------------------------
+    # The pca term is unreachable in the reference: it reads preds["pcas"],
+    # a key ManoBranch.forward never sets (manobranch.py:211-218) — enabling
+    # it with hand_pcas in the target would KeyError.  Captured terms:
+    # verts/joints MSE, shape-vs-zero, pose[3:]-vs-zero.
+    from mano_train.networks.branches.manobranch import ManoLoss
+    from handobjectdatasets.queries import TransQueries
+
+    B, ncomps = 4, 30
+    ml_preds = {
+        "verts": rng.normal(0, 30, size=(B, 778, 3)),
+        "joints": rng.normal(0, 30, size=(B, 21, 3)),
+        "shape": rng.normal(0, 1, size=(B, 10)),
+        "pose": rng.normal(0, 0.8, size=(B, 3 + ncomps)),
+    }
+    ml_target = {
+        TransQueries.verts3d: rng.normal(0, 30, size=(B, 778, 3)),
+        TransQueries.joints3d: rng.normal(0, 30, size=(B, 21, 3)),
+    }
+    lambdas = dict(
+        lambda_verts=0.167,
+        lambda_joints3d=0.167,
+        lambda_shape=0.077,
+        lambda_pose_reg=0.033,
+    )
+    ml = ManoLoss(**lambdas)
+    final, terms = ml.compute_loss(
+        {k: torch.tensor(v) for k, v in ml_preds.items()},
+        {k: torch.tensor(v) for k, v in ml_target.items()},
+    )
+    for k, v in ml_preds.items():
+        out[f"manoloss_pred_{k}"] = v
+    out["manoloss_gt_verts3d"] = ml_target[TransQueries.verts3d]
+    out["manoloss_gt_joints3d"] = ml_target[TransQueries.joints3d]
+    out["manoloss_lambdas"] = np.array(
+        [lambdas["lambda_verts"], lambdas["lambda_joints3d"],
+         lambdas["lambda_shape"], lambdas["lambda_pose_reg"]]
+    )
+    out["manoloss_total"] = final.detach().numpy().reshape(())
+    for name in ("mano_verts3d", "mano_joints3d", "mano_shape", "pose_reg"):
+        out[f"manoloss_{name}"] = terms[name].detach().numpy()
 
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     np.savez_compressed(OUT, **out)
