@@ -417,6 +417,10 @@ def main():
     def run_epoch(state):
         n, pending = 0, None
         for batch in e2e_loader:
+            # one async tree put: numpy leaves passed straight to the jitted
+            # step convert with a device sync per array (a round trip per
+            # leaf on the tunneled TPU — 480 ms/step vs 12 ms for the put)
+            batch = jax.device_put(batch)
             state, losses = e2e_step(state, batch, key)
             if pending is not None:
                 float(pending["total_loss"])  # sync one step behind
@@ -425,7 +429,10 @@ def main():
         float(pending["total_loss"])
         return state, n
 
-    e2e_state, _ = run_epoch(e2e_state)  # compile + warm loader
+    # warm TWO epochs (32 step calls): fresh executables run slow for
+    # roughly their first 30 calls on the tunneled v5e (see _timeit)
+    e2e_state, _ = run_epoch(e2e_state)
+    e2e_state, _ = run_epoch(e2e_state)
     t0 = time.perf_counter()
     e2e_state, n = run_epoch(e2e_state)
     dt = time.perf_counter() - t0

@@ -63,6 +63,6 @@ def shard_batch(batch: dict, mesh: Mesh, axis: str = "data") -> dict:
             lambda x: jax.make_array_from_process_local_data(sharding, x),
             batch,
         )
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sharding), batch
-    )
+    # one async tree put (a per-leaf python loop of synchronous transfers
+    # costs a device round trip per array on remote/tunneled TPUs)
+    return jax.device_put(batch, sharding)

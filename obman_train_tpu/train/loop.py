@@ -68,18 +68,20 @@ class StepCache:
 
 
 def _to_device(batch: Dict, mesh=None):
-    import jax.numpy as jnp
+    import jax
 
     arrays = {
-        k: jnp.asarray(v)
-        for k, v in batch.items()
-        if isinstance(v, np.ndarray)
+        k: v for k, v in batch.items() if isinstance(v, np.ndarray)
     }
     if mesh is not None:
         from obman_train_tpu.parallel.mesh import shard_batch
 
-        arrays = shard_batch(arrays, mesh)
-    return arrays
+        return shard_batch(arrays, mesh)
+    # One async device_put of the whole tree: passing numpy leaves straight
+    # into the jitted step converts them one by one with a device sync per
+    # array — on a remote/tunneled TPU that is a full round trip per leaf
+    # (measured 480 ms/step vs 12 ms for the tree put at batch 64).
+    return jax.device_put(arrays)
 
 
 def epoch_pass(
