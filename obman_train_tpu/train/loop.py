@@ -141,9 +141,11 @@ def epoch_pass(
                 print(f"visualize_batch skipped: {e}")
 
         if results is not None and "joints" in results:
-            if "joints3d" in device_batch:
+            if "joints3d" in batch:
+                # GT joints come from the HOST batch (already numpy) — the
+                # device copy would cost a d2h round trip per step
                 evaluator.feed(
-                    np.asarray(device_batch["joints3d"])[:, EVAL_JOINT_IDXS],
+                    np.asarray(batch["joints3d"])[:, EVAL_JOINT_IDXS],
                     np.asarray(results["joints"])[:, EVAL_JOINT_IDXS],
                 )
             if not train and save_results_dir is not None:
@@ -166,6 +168,18 @@ def epoch_pass(
                     "wb",
                 ) as f:
                     pickle.dump(payload, f)
+
+    def prefetch_host(tree):
+        """Start async device->host copies for everything process_host will
+        read.  Issued at dispatch time so the transfers stream while the
+        device computes the NEXT step; without this every float()/asarray
+        in process_host is a separate blocking round trip — expensive on
+        remote/tunneled TPUs (one RPC per loss key per step)."""
+        import jax
+
+        for leaf in jax.tree_util.tree_leaves(tree):
+            if hasattr(leaf, "copy_to_host_async"):
+                leaf.copy_to_host_async()
 
     def process_host(pending):
         """Host-side work for a completed step: metric floats (forces the
@@ -203,6 +217,7 @@ def epoch_pass(
         else:
             losses, results = steps.eval_step(spec)(state, device_batch)
 
+        prefetch_host((losses, results))
         if pending is not None:
             process_host(pending)
         pending = (batch_idx, batch, device_batch, root, losses, results)
