@@ -402,7 +402,9 @@ def main():
         "synthetic", "train", meta={"size": BENCH_PIPELINE_SIZE},
         device_augment=True,
     )
-    e2e_loader = BatchLoader(ds, batch_size=64, num_workers=2, seed=0)
+    # clamp so tiny CPU-smoke pipeline sizes still yield >= 1 batch
+    e2e_batch = min(64, BENCH_PIPELINE_SIZE)
+    e2e_loader = BatchLoader(ds, batch_size=e2e_batch, num_workers=2, seed=0)
     first = next(iter(e2e_loader))
     from obman_train_tpu.data.loader import derive_spec
 
@@ -437,7 +439,7 @@ def main():
     e2e_state, n = run_epoch(e2e_state)
     dt = time.perf_counter() - t0
     results["end_to_end_train"] = {
-        "samples_per_sec": n / dt, "batch": 64, "workers": 2,
+        "samples_per_sec": n / dt, "batch": e2e_batch, "workers": 2,
         "note": "synthetic loader + full train step, device_augment",
     }
 

@@ -58,11 +58,13 @@ def main(argv=None) -> None:
 
     if args.smoke:
         serve = load_exported(args.out)
+        # a static-batch artifact accepts only its pinned batch size
+        b = args.batch_size or 1
         frame = np.zeros(
-            (1, args.image_size, args.image_size, 3), np.uint8
+            (b, args.image_size, args.image_size, 3), np.uint8
         )
-        sides = np.zeros((1,), np.int32)
-        flip = np.zeros((1,), bool)
+        sides = np.zeros((b,), np.int32)
+        flip = np.zeros((b,), bool)
         out = serve(frame, sides, flip)
         live = model._infer(model._variables, frame, sides, flip)
         for k in live:

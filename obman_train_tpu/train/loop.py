@@ -68,8 +68,6 @@ class StepCache:
 
 
 def _to_device(batch: Dict, mesh=None):
-    import jax
-
     arrays = {
         k: v for k, v in batch.items() if isinstance(v, np.ndarray)
     }
@@ -175,8 +173,6 @@ def epoch_pass(
         device computes the NEXT step; without this every float()/asarray
         in process_host is a separate blocking round trip — expensive on
         remote/tunneled TPUs (one RPC per loss key per step)."""
-        import jax
-
         for leaf in jax.tree_util.tree_leaves(tree):
             if hasattr(leaf, "copy_to_host_async"):
                 leaf.copy_to_host_async()
@@ -217,7 +213,18 @@ def epoch_pass(
         else:
             losses, results = steps.eval_step(spec)(state, device_batch)
 
-        prefetch_host((losses, results))
+        # prefetch only what process_host will read: all loss scalars, the
+        # joints (evaluator feed), and the full results tree only when it is
+        # actually dumped — streaming verts/objpoints every step would burn
+        # the d2h bandwidth this prefetch conserves
+        want_full = results is not None and (
+            not train and save_results_dir is not None
+        )
+        prefetch_host((
+            losses,
+            results if want_full
+            else (results or {}).get("joints"),
+        ))
         if pending is not None:
             process_host(pending)
         pending = (batch_idx, batch, device_batch, root, losses, results)
