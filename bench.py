@@ -337,11 +337,10 @@ def main():
     bench_train("train_step_all_losses", "contact")
     bench_train("train_step_bf16", "contact_bf16")
 
-    # 6) large-point-count Chamfer: XLA vs the tiled Pallas kernel
-    from obman_train_tpu.ops.chamfer import (
-        _PALLAS_PAIRS_THRESHOLD,
-        chamfer_loss,
-    )
+    # 6) large-point-count Chamfer: XLA vs the tiled Pallas kernel.  The
+    #    grad path is what training runs (and where the custom VJP's
+    #    O(BN+BM) memory pays off), so time fwd AND grad.
+    from obman_train_tpu.ops.chamfer import _use_pallas, chamfer_loss
 
     # sub-10ms kernels need a longer window to amortize per-executable
     # slow-start on the tunneled TPU
@@ -353,14 +352,20 @@ def main():
     }.items():
         x = jnp.asarray(rng.normal(0, 40, (cb, cn, 3)), jnp.float32)
         y = jnp.asarray(rng.normal(0, 40, (cb, cm, 3)), jnp.float32)
+
+        def cham_sum(a, b, up):
+            l1, l2 = chamfer_loss(a, b, use_pallas=up)
+            return jnp.mean(l1 + l2)
+
         xla_fn = jax.jit(lambda a, b: chamfer_loss(a, b, use_pallas=False))
         dt_xla = _timeit(xla_fn, (x, y), iters=cham_iters)
+        gx_fn = jax.jit(jax.grad(lambda a, b: cham_sum(a, b, False)))
+        dt_gxla = _timeit(gx_fn, (x, y), iters=cham_iters)
         entry = {
             "batch": cb, "points": cn,
             "xla_ms": dt_xla * 1e3,
-            "auto_dispatch_engaged": bool(
-                cb * cn * cm >= _PALLAS_PAIRS_THRESHOLD
-            ),
+            "xla_grad_ms": dt_gxla * 1e3,
+            "auto_dispatch_engaged": _use_pallas(x, y, "auto"),
         }
         if jax.default_backend() == "tpu":
             pal_fn = jax.jit(lambda a, b: chamfer_loss(a, b, use_pallas=True))
@@ -370,8 +375,12 @@ def main():
                 np.asarray(ox), np.asarray(op), rtol=1e-4, atol=1e-2
             )
             dt_pal = _timeit(pal_fn, (x, y), iters=cham_iters)
+            gp_fn = jax.jit(jax.grad(lambda a, b: cham_sum(a, b, True)))
+            dt_gpal = _timeit(gp_fn, (x, y), iters=cham_iters)
             entry["pallas_ms"] = dt_pal * 1e3
+            entry["pallas_grad_ms"] = dt_gpal * 1e3
             entry["pallas_speedup"] = dt_xla / dt_pal
+            entry["pallas_grad_speedup"] = dt_gxla / dt_gpal
         results[label] = entry
 
     # 7) host input pipeline: BatchLoader over the synthetic dataset

@@ -43,13 +43,13 @@ def chamfer_min_sqdist(x: jnp.ndarray, y: jnp.ndarray, use_pallas="auto"):
     """Per-point nearest-neighbor squared distances and indices.
 
     Returns ``(min_x2y (B,N), argmin_x2y (B,N), min_y2x (B,M), argmin_y2x)``.
-    On TPU, large problems dispatch to the tiled Pallas kernel (O(BN+BM)
-    memory in both the forward and the custom-VJP backward) — this is the
-    hot path of the contact loss (778 hand verts x 642 object points per
-    sample, contactloss.py:164-166).
+    Used by the contact loss (778 hand verts x 642 object points per
+    sample, contactloss.py:164-166), where the per-example plane is small
+    and the XLA path wins; large clouds auto-dispatch to the tiled Pallas
+    kernel (O(BN+BM) memory in both the forward and the custom-VJP
+    backward).
     """
-    n_pairs = x.shape[0] * x.shape[1] * y.shape[1]
-    if _use_pallas(n_pairs, use_pallas):
+    if _use_pallas(x, y, use_pallas):
         return _pallas_min_sqdists_argmin(x, y)
     d = batch_pairwise_sqdist(x, y)
     return (
@@ -60,22 +60,25 @@ def chamfer_min_sqdist(x: jnp.ndarray, y: jnp.ndarray, use_pallas="auto"):
     )
 
 
-# Above this many TOTAL (batch-included) pairwise entries the tiled Pallas
-# kernel is dispatched on TPU: the XLA path materializes the (B, M, N)
-# distance matrix in HBM while the kernel keeps tiles in VMEM.  Measured on
-# v5e (warmed, dependency-chained timing): 2.4x at 1x16384^2 (3.5 -> 1.4
-# ms) and parity at the reference training config (B=256, 600x642 = 98M
-# pairs, both ~1.9 ms) — the kernel's real wins are the O(BN+BM) memory
-# footprint (no 394 MB+ HBM spill in fwd AND bwd) and headroom for larger
-# clouds; below ~2M total pairs XLA keeps everything in caches anyway.
-_PALLAS_PAIRS_THRESHOLD = 2_000_000
+# Auto-dispatch rule, measured on v5e (warmed, dependency-chained grad
+# timing): the Pallas kernel wins when each example's (N, M) plane is big
+# enough to amortize its per-program overhead AND the batch total makes
+# the XLA path HBM-bound (XLA materializes the (B, N, M) plane in fwd and
+# bwd) — grad 1.8x at 1x16384^2 (7.5 -> 4.1 ms), 2.2x at 8x4096^2.  At the
+# reference training configs the per-example plane is tiny (600x642 =
+# 0.4M) and XLA's batched MXU matmul + fused min wins despite the 394 MB
+# spill (grad 5.2 vs 8.0 ms at B=256), so they stay on the XLA path.
+_PALLAS_MIN_PAIRS_PER_EXAMPLE = 8_000_000
+_PALLAS_MIN_TOTAL_PAIRS = 64_000_000
 
 
-def _use_pallas(n_pairs: int, use_pallas) -> bool:
+def _use_pallas(x, y, use_pallas) -> bool:
     if use_pallas in (True, False):
         return use_pallas
+    per_example = x.shape[1] * y.shape[1]
     return (
-        n_pairs >= _PALLAS_PAIRS_THRESHOLD
+        per_example >= _PALLAS_MIN_PAIRS_PER_EXAMPLE
+        and x.shape[0] * per_example >= _PALLAS_MIN_TOTAL_PAIRS
         and jax.default_backend() == "tpu"
     )
 
@@ -167,7 +170,7 @@ def min_sqdist_to(x: jnp.ndarray, y: jnp.ndarray, use_pallas="auto"):
     feeding meshiou (reference handnet.py:348-362)."""
     x = jax.lax.stop_gradient(x)
     y = jax.lax.stop_gradient(y)
-    if _use_pallas(x.shape[0] * x.shape[1] * y.shape[1], use_pallas):
+    if _use_pallas(x, y, use_pallas):
         return _pallas_min_sqdists(x, y)[0]
     return jnp.min(batch_pairwise_sqdist(x, y), axis=2)
 
@@ -185,8 +188,7 @@ def chamfer_loss(preds: jnp.ndarray, gts: jnp.ndarray, use_pallas="auto"):
       min squared distance to gts and the per-gt min squared distance to
       preds — both (B,).
     """
-    n_pairs = preds.shape[0] * preds.shape[1] * gts.shape[1]
-    if _use_pallas(n_pairs, use_pallas):
+    if _use_pallas(gts, preds, use_pallas):
         min_gt2pred, min_pred2gt = _pallas_min_sqdists(gts, preds)
         return jnp.mean(min_pred2gt, axis=1), jnp.mean(min_gt2pred, axis=1)
     d = batch_pairwise_sqdist(gts, preds)  # (B, M, N): P[b, i, j] = |gt_i - pred_j|^2

@@ -110,9 +110,9 @@ def compute_contact_loss(
       (attraction_loss, penetration_loss, contact_info, metrics) — matching
       the reference's outputs (contactloss.py:283-308).
     """
-    # Nearest-neighbor mins/argmins without materializing the (B, H, O)
-    # plane on TPU (Pallas path inside chamfer_min_sqdist; the reference
-    # builds the full matrix, contactloss.py:164-166).
+    # Nearest-neighbor mins/argmins (reference builds the full matrix,
+    # contactloss.py:164-166; here XLA fuses the small per-example plane,
+    # with Pallas auto-dispatch for large clouds inside chamfer_min_sqdist).
     mins21, min21idxs, mins12, _ = chamfer_min_sqdist(hand_verts, obj_verts)
 
     obj_triangles = obj_verts[:, obj_faces]  # (B, F, 3, 3)

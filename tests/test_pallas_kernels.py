@@ -38,6 +38,37 @@ def test_pallas_chamfer_multi_tile_accumulation(rng):
     np.testing.assert_allclose(np.asarray(mx_p), np.asarray(mx_r), atol=1e-2)
 
 
+def test_pallas_chamfer_multi_y_tile(rng):
+    """x mins (and argmins) must accumulate correctly across several
+    y tiles (the 2D grid that bounds scoped VMEM at large M)."""
+    x = jnp.asarray(rng.normal(0, 50, (2, 300, 3)).astype(np.float32))
+    y = jnp.asarray(rng.normal(0, 50, (2, 700, 3)).astype(np.float32))
+    mx_r, ax_r, my_r, ay_r = chamfer_min_sqdist(x, y)
+    mx_p, my_p = pallas_chamfer_min_sqdist(
+        x, y, tile_n=128, tile_m=256, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(mx_p), np.asarray(mx_r), atol=1e-2)
+    np.testing.assert_allclose(np.asarray(my_p), np.asarray(my_r), atol=1e-2)
+    mx_p, ax_p, my_p, ay_p = pallas_chamfer_min_sqdist(
+        x, y, tile_n=128, tile_m=256, interpret=True, with_argmin=True
+    )
+    np.testing.assert_allclose(np.asarray(mx_p), np.asarray(mx_r), atol=1e-2)
+    np.testing.assert_allclose(np.asarray(my_p), np.asarray(my_r), atol=1e-2)
+    # returned indices must achieve the min (ties may differ between the
+    # direct-difference kernel and the rx+ry-2xy XLA formulation)
+    from obman_train_tpu.ops.chamfer import batch_pairwise_sqdist
+
+    d = np.asarray(batch_pairwise_sqdist(x, y))
+    d_at_argx = np.take_along_axis(
+        d, np.asarray(ax_p)[:, :, None], axis=2
+    )[:, :, 0]
+    np.testing.assert_allclose(d_at_argx, d.min(2), rtol=1e-4, atol=1e-2)
+    d_at_argy = np.take_along_axis(
+        d, np.asarray(ay_p)[:, None, :], axis=1
+    )[:, 0, :]
+    np.testing.assert_allclose(d_at_argy, d.min(1), rtol=1e-4, atol=1e-2)
+
+
 def test_pallas_raytri_matches_xla(rng):
     verts, faces = icosphere(2)
     tris = jnp.asarray(
@@ -77,6 +108,30 @@ def test_chamfer_loss_dispatch(rng):
     l1b, l2b = chamfer_loss(preds, gts, use_pallas="auto")
     np.testing.assert_allclose(np.asarray(l1a), np.asarray(l1b), atol=1e-6)
     np.testing.assert_allclose(np.asarray(l2a), np.asarray(l2b), atol=1e-6)
+
+
+def test_chamfer_auto_dispatch_rule(monkeypatch):
+    """Auto-dispatch engages only when the per-example plane amortizes the
+    kernel's per-program overhead AND the batch total is HBM-bound
+    (measured crossover on v5e, see ops/chamfer.py)."""
+    from obman_train_tpu.ops import chamfer
+
+    monkeypatch.setattr(chamfer.jax, "default_backend", lambda: "tpu")
+
+    def use(b, n, m):
+        return chamfer._use_pallas(
+            np.zeros((b, n, 3)), np.zeros((b, m, 3)), "auto"
+        )
+
+    assert not use(256, 600, 642)    # reference training config -> XLA
+    assert not use(256, 778, 642)    # contact config -> XLA
+    assert not use(1, 4096, 4096)    # small total -> XLA
+    assert use(1, 8192, 8192)
+    assert use(8, 4096, 4096)
+    assert use(1, 16384, 16384)
+    assert not chamfer._use_pallas(
+        np.zeros((1, 16384, 3)), np.zeros((1, 16384, 3)), False
+    )
 
 
 def test_pallas_chamfer_argmin_interpret(rng):
