@@ -137,6 +137,13 @@ def _timeit(fn, args, iters=BENCH_ITERS):
 
 def main():
     import jax
+
+    if os.environ.get("OBMAN_BENCH_CPU"):
+        # JAX_PLATFORMS in the environment does NOT switch backends here:
+        # sitecustomize imports jax (pinning the axon TPU platform) before
+        # this process's env is consulted, so CPU smokes must re-pin via
+        # the config API before first device use.
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from obman_train_tpu.config import TrainConfig
