@@ -109,6 +109,9 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--atlas_freeze_encoder", action="store_true")
     t.add_argument("--atlas_freeze_decoder", action="store_true")
     t.add_argument("--manual_seed", type=int, default=0)
+    t.add_argument("--grad_accum", type=int, default=1,
+                   help="gradient-accumulation microbatches per optimizer "
+                        "update (train_batch must be divisible by it)")
     t.add_argument("--compute_dtype", default="float32",
                    choices=["float32", "bfloat16"])
     t.add_argument("--device_augment", action="store_true",
@@ -238,6 +241,7 @@ def args_to_config(args):
         atlas_freeze_decoder=args.atlas_freeze_decoder,
         manual_seed=args.manual_seed,
         snapshot=args.snapshot,
+        grad_accum=args.grad_accum,
     )
     data = DataConfig(
         train_datasets=tuple(args.train_datasets),

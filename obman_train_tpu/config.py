@@ -187,6 +187,8 @@ class TrainConfig(JsonConfigMixin):
     atlas_freeze_decoder: bool = False
     manual_seed: int = 0
     snapshot: int = 5
+    # Gradient accumulation: microbatches per optimizer update (1 = off).
+    grad_accum: int = 1
     # Parallelism: 1-D data mesh; batch is sharded, params replicated.
     mesh_shape: Tuple[int, ...] = (1,)
     mesh_axis_names: Tuple[str, ...] = ("data",)

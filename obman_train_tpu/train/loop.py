@@ -42,11 +42,14 @@ EVAL_JOINT_IDXS = list(range(21))  # joints used for evaluation (epochpass3d.py:
 class StepCache:
     """Compile-once-per-BatchSpec step functions."""
 
-    def __init__(self, net: HandNet, tx, train_bn: bool, mesh=None):
+    def __init__(
+        self, net: HandNet, tx, train_bn: bool, mesh=None, accum_steps=1
+    ):
         self.net = net
         self.tx = tx
         self.train_bn = train_bn
         self.mesh = mesh
+        self.accum_steps = accum_steps
         self._train: Dict[BatchSpec, object] = {}
         self._eval: Dict[BatchSpec, object] = {}
 
@@ -58,6 +61,7 @@ class StepCache:
                 self.net, self.tx, spec, train_bn=self.train_bn,
                 mesh=self.mesh, donate=True,
                 return_joints=spec.has_joints3d,
+                accum_steps=self.accum_steps,
             )
         return self._train[spec]
 
@@ -306,7 +310,8 @@ def fit(
     )
     monitor = Monitor(cfg.exp_id, hosting_folder=hosting)
     steps = StepCache(
-        net, tx, train_bn=not cfg.train.freeze_batchnorm, mesh=mesh
+        net, tx, train_bn=not cfg.train.freeze_batchnorm, mesh=mesh,
+        accum_steps=cfg.train.grad_accum,
     )
     best_score = None
 

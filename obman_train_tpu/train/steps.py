@@ -132,6 +132,7 @@ def make_train_step(
     mesh=None,
     donate: bool = True,
     return_joints: bool = False,
+    accum_steps: int = 1,
 ) -> Callable[[TrainState, Dict, jnp.ndarray], Tuple[TrainState, Dict]]:
     """Build the jitted train step.  ``train_bn=False`` = frozen-BN recipe.
 
@@ -139,33 +140,112 @@ def make_train_step(
     epoch engine can feed the PCK evaluator during training as the
     reference does (epochpass3d.py:141-151); the step then returns
     ``(state, losses, joints)``.
+
+    ``accum_steps=A > 1`` accumulates gradients over A microbatches under
+    ``lax.scan`` before the single optimizer update — the standard
+    micro-batching recipe for fitting contact-loss configs in HBM at
+    large effective batch sizes.  Microbatches are STRIDED (rows i, i+A,
+    i+2A, ...) so each one stays balanced across the data mesh under
+    contiguous batch sharding; losses are averaged (microbatches are
+    equal-size, so this equals the full-batch mean) and BN stats, when
+    training, update sequentially through the scan.
     """
 
-    def step_fn(state: TrainState, batch: Dict, rng: jnp.ndarray):
-        step_rng = jax.random.fold_in(rng, state.step)
-        dropout_rng, points_rng = jax.random.split(step_rng)
-
+    def forward_grads(params, batch_stats, batch, regul_scale, rngs):
         def loss_fn(params):
-            variables = {"params": params, "batch_stats": state.batch_stats}
-            rngs = {"dropout": dropout_rng, "points": points_rng}
+            variables = {"params": params, "batch_stats": batch_stats}
             if train_bn:
                 (total, results, losses), updated = net.apply(
                     variables, batch, spec, train=True, rngs=rngs,
-                    regul_scale=state.regul_scale, mutable=["batch_stats"],
+                    regul_scale=regul_scale, mutable=["batch_stats"],
                 )
                 new_stats = updated["batch_stats"]
             else:
                 total, results, losses = net.apply(
                     variables, batch, spec, train=False, rngs=rngs,
-                    regul_scale=state.regul_scale,
+                    regul_scale=regul_scale,
                 )
-                new_stats = state.batch_stats
+                new_stats = batch_stats
             joints = results.get("joints") if return_joints else None
             return total, (losses, new_stats, joints)
 
-        (_, (losses, new_stats, joints)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params)
+        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        return aux, grads
+
+    def step_fn(state: TrainState, batch: Dict, rng: jnp.ndarray):
+        step_rng = jax.random.fold_in(rng, state.step)
+
+        if accum_steps == 1:
+            dropout_rng, points_rng = jax.random.split(step_rng)
+            (losses, new_stats, joints), grads = forward_grads(
+                state.params, state.batch_stats, batch, state.regul_scale,
+                {"dropout": dropout_rng, "points": points_rng},
+            )
+        else:
+            b = next(iter(batch.values())).shape[0]
+            if b % accum_steps:
+                raise ValueError(
+                    f"batch size {b} not divisible by accum_steps"
+                    f" {accum_steps}"
+                )
+            # strided microbatches: row r goes to microbatch r % A
+            micro = jax.tree_util.tree_map(
+                lambda v: jnp.swapaxes(
+                    v.reshape(b // accum_steps, accum_steps, *v.shape[1:]),
+                    0, 1,
+                ),
+                batch,
+            )
+
+            def accum_body(carry, xs):
+                stats, grad_acc, loss_acc = carry
+                mb, idx = xs
+                mb_rng = jax.random.fold_in(step_rng, idx)
+                dropout_rng, points_rng = jax.random.split(mb_rng)
+                (losses, new_stats, joints), grads = forward_grads(
+                    state.params, stats, mb, state.regul_scale,
+                    {"dropout": dropout_rng, "points": points_rng},
+                )
+                grad_acc = jax.tree_util.tree_map(
+                    jnp.add, grad_acc, grads
+                )
+                loss_acc = jax.tree_util.tree_map(
+                    jnp.add, loss_acc, losses
+                )
+                return (new_stats, grad_acc, loss_acc), joints
+
+            idxs = jnp.arange(accum_steps)
+            mb0 = jax.tree_util.tree_map(lambda v: v[0], micro)
+            loss_shapes = jax.eval_shape(
+                lambda p, s, m: forward_grads(
+                    p, s, m, state.regul_scale,
+                    {"dropout": step_rng, "points": step_rng},
+                )[0][0],
+                state.params, state.batch_stats, mb0,
+            )
+            zero_losses = jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype), loss_shapes
+            )
+            (new_stats, grads, losses), joints_stack = jax.lax.scan(
+                accum_body,
+                (
+                    state.batch_stats,
+                    jax.tree_util.tree_map(jnp.zeros_like, state.params),
+                    zero_losses,
+                ),
+                (micro, idxs),
+            )
+            inv = 1.0 / accum_steps
+            grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
+            losses = jax.tree_util.tree_map(lambda v: v * inv, losses)
+            if return_joints and joints_stack is not None:
+                # (A, B/A, ...) -> original row order
+                joints = jnp.swapaxes(joints_stack, 0, 1).reshape(
+                    b, *joints_stack.shape[2:]
+                )
+            else:
+                joints = None
+
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = TrainState(

@@ -111,3 +111,68 @@ def test_eval_step(net, rng):
     losses, out = eval_step(state, batch)
     assert "joints" in out and out["joints"].shape == (2, 21, 3)
     assert np.isfinite(float(losses["total_loss"]))
+
+
+@pytest.mark.fast
+def test_grad_accum_matches_single_step(rng):
+    """accum_steps=2 must reproduce the accum=1 update exactly for a
+    deterministic (hands-only, frozen-BN) config: equal-size strided
+    microbatches average to the full-batch mean loss and gradient."""
+    from obman_train_tpu.config import AtlasConfig
+
+    net = build_handnet(
+        ModelConfig(atlas=AtlasConfig(lambda_atlas=None,
+                                      final_lambda_atlas=None)),
+        mano_params_from_assets(synthetic_mano_assets("right")),
+        mano_params_from_assets(synthetic_mano_assets("left")),
+    )
+    batch = make_batch(rng, B=8, with_obj=False)
+    spec = BatchSpec(has_objpoints3d=False)
+    # SGD at lr 1: params_new = params - grads, so the param comparison IS
+    # an exact gradient comparison (Adam's first step is ~lr*sign(g) and
+    # amplifies f32-noise sign flips on near-zero grads).
+    tx = make_optimizer(TrainConfig(optimizer="sgd", lr=1.0, momentum=0.0,
+                                    lr_decay_gamma=1.0))
+    state = create_train_state(net, tx, batch, spec)
+    key = jax.random.PRNGKey(0)
+    s1, l1 = make_train_step(net, tx, spec, donate=False)(state, batch, key)
+    s2, l2 = make_train_step(net, tx, spec, donate=False, accum_steps=2)(
+        state, batch, key
+    )
+    np.testing.assert_allclose(
+        float(l1["total_loss"]), float(l2["total_loss"]), rtol=1e-5
+    )
+    for p1, p2 in zip(
+        jax.tree_util.tree_leaves(s1.params),
+        jax.tree_util.tree_leaves(s2.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(p1), np.asarray(p2), atol=1e-5
+        )
+
+
+@pytest.mark.fast
+def test_grad_accum_full_config(net, rng):
+    """Full config (atlas points rng per microbatch) runs, returns joints
+    in the original row order, and rejects non-divisible batches."""
+    batch = make_batch(rng, B=8)
+    spec = BatchSpec()
+    tx = make_optimizer(TrainConfig())
+    state = create_train_state(net, tx, batch, spec)
+    step = make_train_step(
+        net, tx, spec, donate=False, accum_steps=4, return_joints=True
+    )
+    new_state, losses, joints = step(state, batch, jax.random.PRNGKey(0))
+    assert joints.shape == (8, 21, 3)
+    assert np.isfinite(float(losses["total_loss"]))
+    # joints must match the per-row forward of the SAME updated... rather:
+    # verify row order by comparing against an eval forward on the original
+    # params (joints are computed from the pre-update params per microbatch)
+    eval_step = make_eval_step(net, spec)
+    _, out = eval_step(state, batch)
+    np.testing.assert_allclose(
+        np.asarray(joints), np.asarray(out["joints"]), atol=1e-3
+    )
+    bad = make_train_step(net, tx, spec, donate=False, accum_steps=3)
+    with pytest.raises(ValueError, match="not divisible"):
+        bad(state, batch, jax.random.PRNGKey(0))
