@@ -394,19 +394,21 @@ def main():
     from obman_train_tpu.data.factory import get_dataset
     from obman_train_tpu.data.loader import BatchLoader
 
+    # clamp so tiny smoke pipeline sizes still yield >= 1 (drop-last) batch
+    pipe_batch = min(64, BENCH_PIPELINE_SIZE)
     for aug_name, device_augment in (("host_aug", False), ("device_aug", True)):
         ds = get_dataset(
             "synthetic", "train", meta={"size": BENCH_PIPELINE_SIZE},
             device_augment=device_augment,
         )
-        loader = BatchLoader(ds, batch_size=64, num_workers=8, seed=0)
+        loader = BatchLoader(ds, batch_size=pipe_batch, num_workers=8, seed=0)
         n = 0
         t0 = time.perf_counter()
         for batch in loader:
             n += batch["images"].shape[0]
         dt = time.perf_counter() - t0
         results[f"input_pipeline_{aug_name}"] = {
-            "samples_per_sec": n / dt, "workers": 8, "batch": 64,
+            "samples_per_sec": n / dt, "workers": 8, "batch": pipe_batch,
             "samples": n,
         }
 

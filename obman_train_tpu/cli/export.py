@@ -32,8 +32,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="pin a static batch; default exports a symbolic "
                         "batch dimension (any batch size)")
     p.add_argument("--smoke", action="store_true",
-                   help="reload the artifact and run one batch-1 call "
-                        "against the live model as a consistency check")
+                   help="reload the artifact and run one call (at the "
+                        "pinned --batch_size, else batch 1) against the "
+                        "live model as a consistency check")
     return p
 
 

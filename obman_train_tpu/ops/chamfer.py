@@ -68,18 +68,27 @@ def chamfer_min_sqdist(x: jnp.ndarray, y: jnp.ndarray, use_pallas="auto"):
 # reference training configs the per-example plane is tiny (600x642 =
 # 0.4M) and XLA's batched MXU matmul + fused min wins despite the 394 MB
 # spill (grad 5.2 vs 8.0 ms at B=256), so they stay on the XLA path.
+# Regardless of speed, once the XLA plane would claim a large slice of
+# HBM (fwd AND bwd each materialize B*N*M f32) the kernel's O(BN+BM)
+# footprint is the only option that fits — e.g. B=2048 at the contact
+# config is a ~4 GB plane on a 16 GB chip.
 _PALLAS_MIN_PAIRS_PER_EXAMPLE = 8_000_000
 _PALLAS_MIN_TOTAL_PAIRS = 64_000_000
+_PALLAS_XLA_PLANE_LIMIT_BYTES = 2 << 30
 
 
 def _use_pallas(x, y, use_pallas) -> bool:
     if use_pallas in (True, False):
         return use_pallas
+    if jax.default_backend() != "tpu":
+        return False
     per_example = x.shape[1] * y.shape[1]
+    total = x.shape[0] * per_example
+    if total * 4 >= _PALLAS_XLA_PLANE_LIMIT_BYTES:
+        return True
     return (
         per_example >= _PALLAS_MIN_PAIRS_PER_EXAMPLE
-        and x.shape[0] * per_example >= _PALLAS_MIN_TOTAL_PAIRS
-        and jax.default_backend() == "tpu"
+        and total >= _PALLAS_MIN_TOTAL_PAIRS
     )
 
 

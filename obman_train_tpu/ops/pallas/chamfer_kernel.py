@@ -179,7 +179,7 @@ def _dir_kernel_argmin(x_ref, y_ref, minx_ref, argx_ref):
         argx_ref[0, 0, :] = jnp.where(better, tile_arg, argx_ref[0, 0, :])
 
 
-def _min_one_direction(x_pad, N, y_pad, M, tile_n, tile_m, with_argmin,
+def _min_one_direction(x_pad, N, y_pad, tile_n, tile_m, with_argmin,
                        interpret):
     """Per-x min (and argmin) over y; x_pad/y_pad are (B, 3, NP/MP)."""
     B, _, NP = x_pad.shape
@@ -304,10 +304,10 @@ def pallas_chamfer_min_sqdist(
     y_as_pts = _pad_points(y, MP_n)
     x_as_search = _pad_points(x, NP_m)
     minx, argx = _min_one_direction(
-        x_as_pts, N, y_as_search, M, tile_n, tile_m, with_argmin, interpret
+        x_as_pts, N, y_as_search, tile_n, tile_m, with_argmin, interpret
     )
     miny, argy = _min_one_direction(
-        y_as_pts, M, x_as_search, N, tile_n, tile_m, with_argmin, interpret
+        y_as_pts, M, x_as_search, tile_n, tile_m, with_argmin, interpret
     )
     if with_argmin:
         return minx, argx, miny, argy

@@ -219,10 +219,19 @@ def epoch_pass(
 
         # prefetch only what process_host will read: all loss scalars, the
         # joints (evaluator feed), and the full results tree only when it is
-        # actually dumped — streaming verts/objpoints every step would burn
-        # the d2h bandwidth this prefetch conserves
-        want_full = results is not None and (
-            not train and save_results_dir is not None
+        # actually consumed (result dumps, or a display step's figure) —
+        # streaming verts/objpoints every step would burn the d2h bandwidth
+        # this prefetch conserves
+        want_full = (
+            results is not None
+            and not train
+            and (
+                save_results_dir is not None
+                or (
+                    display_dir is not None
+                    and batch_idx % display_freq == 0
+                )
+            )
         )
         prefetch_host((
             losses,

@@ -146,9 +146,16 @@ def make_train_step(
     micro-batching recipe for fitting contact-loss configs in HBM at
     large effective batch sizes.  Microbatches are STRIDED (rows i, i+A,
     i+2A, ...) so each one stays balanced across the data mesh under
-    contiguous batch sharding; losses are averaged (microbatches are
-    equal-size, so this equals the full-batch mean) and BN stats, when
-    training, update sequentially through the scan.
+    contiguous batch sharding, and BN stats, when training, update
+    sequentially through the scan.  Losses/gradients are averaged over
+    microbatches: for fixed-denominator losses (per-sample means — the
+    MANO/Atlas/regul terms) this equals the full-batch mean exactly; for
+    the contact terms, whose masked-mean denominator is the penetrating/
+    close vertex count over the whole batch (ops/contact.py
+    masked_mean_loss), it is the standard per-microbatch semantics —
+    each microbatch normalizes by its own count, so the result can
+    differ from the accum=1 value when counts are very uneven across
+    microbatches (striding keeps them statistically matched).
     """
 
     def forward_grads(params, batch_stats, batch, regul_scale, rngs):

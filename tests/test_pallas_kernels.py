@@ -129,6 +129,9 @@ def test_chamfer_auto_dispatch_rule(monkeypatch):
     assert use(1, 8192, 8192)
     assert use(8, 4096, 4096)
     assert use(1, 16384, 16384)
+    # memory guard: the XLA (B, N, M) plane would be ~4 GB — kernel
+    # regardless of the per-example floor
+    assert use(2048, 778, 642)
     assert not chamfer._use_pallas(
         np.zeros((1, 16384, 3)), np.zeros((1, 16384, 3)), False
     )
