@@ -107,13 +107,10 @@ def epoch_pass(
     rng = jax.random.PRNGKey(rng_seed)
     end = time.time()
 
-    def _process_outputs(batch_idx, batch, device_batch, root, results):
-        if (
-            display_dir is not None
-            and not train
-            and results is not None
-            and batch_idx % display_freq == 0
-        ):
+    def _process_outputs(
+        batch_idx, batch, device_batch, root, results, fig_results
+    ):
+        if display_dir is not None and fig_results is not None:
             # Periodic qualitative figure (epochpass3d.py:126-134).
             try:
                 from obman_train_tpu.visualize.displaymano import (
@@ -135,7 +132,7 @@ def epoch_pass(
                 visualize_batch(
                     os.path.join(display_dir, f"img_{batch_idx:06d}.png"),
                     {k: to_np(v) for k, v in device_batch.items()},
-                    {k: to_np(v) for k, v in results.items()},
+                    {k: to_np(v) for k, v in fig_results.items()},
                     faces,
                     obj_faces=np.asarray(net.ico_faces),
                 )
@@ -187,7 +184,7 @@ def epoch_pass(
         one batch so the device computes step N+1 while the host drains
         step N (jit dispatch is async; the float() here is the sync point).
         """
-        batch_idx, batch, device_batch, root, losses, results = pending
+        batch_idx, batch, device_batch, root, losses, results, figr = pending
         for key, val in losses.items():
             if val is None:
                 continue
@@ -196,7 +193,7 @@ def epoch_pass(
             if v > 1e5 and key == "total_loss":
                 print(f"loss explosion? {key}={v} at batch {batch_idx}")
         _process_outputs(
-            batch_idx, batch, device_batch, root, results,
+            batch_idx, batch, device_batch, root, results, figr,
         )
 
     pending = None
@@ -206,7 +203,18 @@ def epoch_pass(
         device_batch = _to_device(batch)
         spec = derive_spec(device_batch, root=root)
 
+        display_step = (
+            display_dir is not None and batch_idx % display_freq == 0
+        )
+        fig_results = None
         if train:
+            if display_step:
+                # The reference renders train-pass diagnostics from the
+                # step's own forward (epochpass3d.py:126-134); the jitted
+                # train step returns only joints, so run the cached eval
+                # step on the pre-update state for the figure —
+                # display_freq amortizes the extra forward.
+                _, fig_results = steps.eval_step(spec)(state, device_batch)
             out = steps.train_step(spec)(state, device_batch, rng)
             if len(out) == 3:
                 state, losses, joints = out
@@ -216,31 +224,29 @@ def epoch_pass(
                 results = None
         else:
             losses, results = steps.eval_step(spec)(state, device_batch)
+            if display_step:
+                fig_results = results
 
         # prefetch only what process_host will read: all loss scalars, the
-        # joints (evaluator feed), and the full results tree only when it is
-        # actually consumed (result dumps, or a display step's figure) —
-        # streaming verts/objpoints every step would burn the d2h bandwidth
-        # this prefetch conserves
-        want_full = (
-            results is not None
-            and not train
-            and (
-                save_results_dir is not None
-                or (
-                    display_dir is not None
-                    and batch_idx % display_freq == 0
-                )
-            )
+        # joints (evaluator feed), the figure forward on display steps, and
+        # the full results tree only when it is dumped — streaming
+        # verts/objpoints every step would burn the d2h bandwidth this
+        # prefetch conserves
+        want_full = results is not None and (
+            not train and save_results_dir is not None
         )
         prefetch_host((
             losses,
+            fig_results,
             results if want_full
             else (results or {}).get("joints"),
         ))
         if pending is not None:
             process_host(pending)
-        pending = (batch_idx, batch, device_batch, root, losses, results)
+        pending = (
+            batch_idx, batch, device_batch, root, losses, results,
+            fig_results,
+        )
 
         time_meters.add_loss_value("batch_time", time.time() - end)
         end = time.time()
@@ -325,10 +331,22 @@ def fit(
     best_score = None
 
     for epoch in range(start_epoch, cfg.train.epochs):
+        display = (
+            epoch % cfg.epoch_display_freq == 0 if cfg.epoch_display_freq
+            else False
+        )
         if not cfg.evaluate:
             state, train_meters, train_pck = epoch_pass(
                 train_loader, net, state, steps, epoch,
                 train=True, rng_seed=cfg.train.manual_seed + epoch,
+                display_dir=(
+                    os.path.join(
+                        cfg.exp_id, "images", "train", f"epoch_{epoch}"
+                    )
+                    if display
+                    else None
+                ),
+                display_freq=cfg.display_freq,
             )
             train_dict = train_meters.averages()
             for k in ("auc", "epe_mean", "epe_median"):
@@ -341,10 +359,6 @@ def fit(
             save_dir = os.path.join(
                 cfg.exp_id, "save_results", "val", f"epoch_{epoch}"
             )
-        display = (
-            epoch % cfg.epoch_display_freq == 0 if cfg.epoch_display_freq
-            else False
-        )
         state, val_meters, pck_info = epoch_pass(
             val_loader, net, state, steps, epoch,
             train=False, save_results_dir=save_dir,

@@ -68,3 +68,41 @@ def test_mixed_spec_epoch(tmp_path):
     assert "mano_joints3d" in avgs and "atlas_objpoints3d" in avgs
     assert np.isfinite(avgs["total_loss"])
     assert int(state.step) == 4
+
+
+def test_train_pass_display_figures(tmp_path):
+    """Train passes render periodic diagnostic figures like the reference
+    (epochpass3d.py:126-134): on display steps the cached eval forward
+    supplies the full results tree the jitted train step omits."""
+    queries = [
+        BaseQueries.sides, TransQueries.images, TransQueries.joints3d,
+        TransQueries.verts3d, TransQueries.objpoints3d,
+    ]
+    ds = HandDataset(
+        SyntheticDataset(size=4, img_res=64), inp_res=64,
+        queries=queries, train=True,
+    )
+    loader = BatchLoader(ds, 4, num_workers=1)
+    net = build_handnet(
+        ModelConfig(),
+        mano_params_from_assets(synthetic_mano_assets("right")),
+        mano_params_from_assets(synthetic_mano_assets("left")),
+    )
+    first = next(iter(loader))
+    from obman_train_tpu.data.loader import derive_spec
+    from obman_train_tpu.train.loop import _to_device
+
+    tx = make_optimizer(TrainConfig())
+    state = create_train_state(
+        net, tx, _to_device(first), derive_spec(first), seed=0
+    )
+    steps = StepCache(net, tx, train_bn=False)
+    display_dir = str(tmp_path / "images" / "train" / "epoch_0")
+    state, meters, _ = epoch_pass(
+        loader, net, state, steps, epoch=0, train=True,
+        display_dir=display_dir, display_freq=1,
+    )
+    import os
+
+    assert os.path.exists(os.path.join(display_dir, "img_000000.png"))
+    assert np.isfinite(meters.averages()["total_loss"])
