@@ -52,21 +52,33 @@ def main(argv=None):
             opt_pkl = candidate
     if opt_pkl:
         import pickle
+        import sys
 
         with open(opt_pkl, "rb") as f:
             opts = pickle.load(f)
         if not isinstance(opts, dict):  # argparse.Namespace in old pickles
             opts = vars(opts)
-        # reference backfill defaults for old checkpoints (reload.py:42-72)
+        # reference backfill defaults for old checkpoints (reload.py:42-72);
+        # an EXPLICIT CLI flag wins over the pkl (the repo's CLI-wins rule)
+        raw = argv if argv is not None else sys.argv[1:]
+        explicit = {a.split("=", 1)[0] for a in raw if a.startswith("--")}
         get = lambda k, d: opts.get(k, d)
-        args.resnet_version = int(get("resnet_version", 18))
-        args.mano_comps = 30  # release models (reload.py:93)
-        args.hidden_neurons = list(get("hidden_neurons", [1024, 256]))
-        args.mano_use_shape = bool(get("use_shape", args.mano_use_shape))
-        args.atlas_predict_trans = bool(get("atlas_predict_trans", False))
-        args.atlas_predict_scale = bool(get("atlas_predict_scale", False))
-        args.atlas_separate_encoder = bool(
-            get("atlas_separate_encoder", False)
+
+        def fill(name, value):
+            if f"--{name}" not in explicit:
+                setattr(args, name, value)
+
+        fill("resnet_version", int(get("resnet_version", 18)))
+        # ncomps is absent from old release pkls; the release models use 30
+        # (reload.py:93) — honor it when recorded
+        fill("mano_comps", int(get("mano_comps", 30)))
+        fill("hidden_neurons", list(get("hidden_neurons", [1024, 256])))
+        fill("mano_use_shape", bool(get("use_shape", args.mano_use_shape)))
+        fill("atlas_predict_trans", bool(get("atlas_predict_trans", False)))
+        fill("atlas_predict_scale", bool(get("atlas_predict_scale", False)))
+        fill(
+            "atlas_separate_encoder",
+            bool(get("atlas_separate_encoder", False)),
         )
         args.mano_lambda_joints2d = get("mano_lambda_joints2d", 0) or None
         args.absolute_lambda = get("absolute_lambda", 0) or None

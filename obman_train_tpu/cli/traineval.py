@@ -370,6 +370,16 @@ def main(argv=None):
                 limit_size=limit, device_augment=args.device_augment,
             )
             print(f"{name}/{split}: {len(ds)} samples")
+            if not train_it and jax.process_count() > 1:
+                # multi-host eval: shuffle=False would make every host
+                # stream the SAME samples into the global batch — give
+                # each process a strided shard of the val set instead
+                from obman_train_tpu.data.factory import Subset
+
+                ds = Subset(
+                    ds,
+                    range(jax.process_index(), len(ds), jax.process_count()),
+                )
             loaders.append(
                 BatchLoader(
                     ds, batch_size=batch_size, shuffle=train_it,

@@ -39,6 +39,11 @@ class Subset:
     def __getitem__(self, i):
         return self.dataset[self.indices[i]]
 
+    def reseed(self, epoch):
+        # keep the per-epoch augmentation stream advancing under wrapping
+        if hasattr(self.dataset, "reseed"):
+            self.dataset.reseed(epoch)
+
 
 def make_pose_dataset(dat_name: str, split: str, meta: dict, mini_factor=None):
     meta = dict(meta or {})

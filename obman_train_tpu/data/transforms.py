@@ -440,6 +440,11 @@ def fast_load_obj(file_obj) -> list:
     - output vertices are ordered by the lexicographic sort of those
       tokens (so "10" sorts before "2");
     - quads triangulate as (0,1,2),(2,3,0); 'o' lines split objects.
+
+    Divergence: faces with >4 corners fan-triangulate (0,k,k+1) — the
+    reference blindly reshapes the corner list to (-1, 3) there
+    (loadutils.py:91-94), which raises or silently misaligns every
+    subsequent face on such meshes.
     """
     if isinstance(file_obj, str):
         with open(file_obj) as f:
@@ -480,7 +485,15 @@ def fast_load_obj(file_obj) -> list:
         elif parts[0] == "f":
             ft = parts[1:]
             if len(ft) == 4:
+                # the reference's quad quirk: (0,1,2),(2,3,0)
                 ft = [ft[0], ft[1], ft[2], ft[2], ft[3], ft[0]]
+            elif len(ft) > 4:
+                # general n-gons fan-triangulate (loadutils.py polygon fan)
+                ft = [
+                    t
+                    for k in range(1, len(ft) - 1)
+                    for t in (ft[0], ft[k], ft[k + 1])
+                ]
             for token in ft:
                 if token not in remap:
                     remap[token] = len(remap)

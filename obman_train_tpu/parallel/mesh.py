@@ -52,17 +52,33 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def shard_batch(batch: dict, mesh: Mesh, axis: str = "data") -> dict:
     """Device-put a host batch with the leading dim sharded over ``axis``.
 
-    Single-host: a plain sharded device_put.  Multi-host (after
+    Per-batch scalars and arrays without the batch leading dim (e.g. the
+    device-augment ``aug_order``) are replicated; batch-dim arrays are
+    sharded.  Single-host: a plain sharded device_put.  Multi-host (after
     ``jax.distributed.initialize``, --distributed): each process passes its
     LOCAL per-host batch and the global array is assembled across hosts —
     the per-host loaders are seeded per process so shards differ.
     """
     sharding = batch_sharding(mesh, axis)
+    rep = replicated(mesh)
+    # the batch size: every model batch carries images; fall back to the
+    # most common leading dim for spec-less trees
+    if "images" in batch:
+        bsz = batch["images"].shape[0]
+    else:
+        dims = [v.shape[0] for v in batch.values() if getattr(v, "ndim", 0)]
+        bsz = max(set(dims), key=dims.count) if dims else 0
+
+    def spec_for(x):
+        return sharding if getattr(x, "ndim", 0) and x.shape[0] == bsz else rep
+
     if jax.process_count() > 1:
         return jax.tree_util.tree_map(
-            lambda x: jax.make_array_from_process_local_data(sharding, x),
+            lambda x: jax.make_array_from_process_local_data(spec_for(x), x),
             batch,
         )
     # one async tree put (a per-leaf python loop of synchronous transfers
     # costs a device round trip per array on remote/tunneled TPUs)
-    return jax.device_put(batch, sharding)
+    return jax.device_put(
+        batch, jax.tree_util.tree_map(spec_for, batch)
+    )

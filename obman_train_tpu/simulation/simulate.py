@@ -72,9 +72,11 @@ def run_simulation(
     hand_verts = np.asarray(hand_verts, np.float64) * 0.001
     obj_verts = np.asarray(obj_verts, np.float64) * 0.001
     if backend == "pybullet":
-        return _run_pybullet(
+        dist = _run_pybullet(
             hand_verts, hand_faces, obj_verts, obj_faces, vhacd_exe
         )
+        # pybullet records no trajectory; keep the return shape contract
+        return (dist, None) if return_trajectory else dist
 
     from obman_train_tpu.native import load_physics_lib
 

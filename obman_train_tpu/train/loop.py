@@ -200,7 +200,11 @@ def epoch_pass(
     for batch_idx, batch in enumerate(loader):
         time_meters.add_loss_value("data_time", time.time() - end)
         root = batch.get("root", "wrist")
-        device_batch = _to_device(batch)
+        # steps.mesh wires the SPMD path: shard_batch places the batch with
+        # the data sharding (and on multi-host assembles the global array
+        # from process-local shards) so the jitted step's in_shardings see
+        # correctly-placed inputs
+        device_batch = _to_device(batch, mesh=steps.mesh)
         spec = derive_spec(device_batch, root=root)
 
         display_step = (
@@ -319,7 +323,11 @@ def fit(
     import jax.numpy as jnp
 
     hosting = (
-        os.path.join(cfg.host_folder, os.path.basename(cfg.exp_id))
+        # normpath: a trailing-slash exp_id would give an empty basename
+        # and collapse every experiment's mirror into host_folder itself
+        os.path.join(
+            cfg.host_folder, os.path.basename(os.path.normpath(cfg.exp_id))
+        )
         if getattr(cfg, "host_folder", None)
         else None
     )

@@ -272,7 +272,11 @@ def make_train_step(
     if mesh is not None:
         rep = replicated(mesh)
         data = batch_sharding(mesh)
-        kwargs["in_shardings"] = (rep, data, rep)
+        # batch in_shardings stays None: the batch is pre-placed by
+        # parallel.shard_batch (data-sharded batch-dim arrays, replicated
+        # per-batch scalars like aug_order) — a blanket P("data") prefix
+        # cannot express that mix and fails on rank-0 leaves
+        kwargs["in_shardings"] = (rep, None, rep)
         if return_joints:
             kwargs["out_shardings"] = (rep, rep, data)
         else:
@@ -386,6 +390,7 @@ def make_eval_step(
     if mesh is not None:
         rep = replicated(mesh)
         data = batch_sharding(mesh)
-        kwargs["in_shardings"] = (rep, data)
+        # batch pre-placed by parallel.shard_batch (see make_train_step)
+        kwargs["in_shardings"] = (rep, None)
         kwargs["out_shardings"] = (rep, data)
     return jax.jit(eval_fn, **kwargs)

@@ -236,3 +236,21 @@ def test_process_sample_artifacts(tmp_path):
         assert (tmp_path / f"000007{suffix}").exists(), suffix
     traj = np.load(tmp_path / "000007_traj.npy")
     assert traj.shape == (35, 3)
+
+
+def test_fast_load_obj_ngon_fan(tmp_path):
+    """>4-corner faces fan-triangulate (the reference's blind (-1,3)
+    reshape raises or misaligns there; documented divergence)."""
+    from obman_train_tpu.data.transforms import fast_load_obj
+
+    p = tmp_path / "pent.obj"
+    p.write_text(
+        "v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0.5 1.5 0\nv 0 1 0\n"
+        "f 1 2 3 4 5\n"
+    )
+    mesh = fast_load_obj(str(p))[0]
+    assert mesh["faces"].shape == (3, 3)  # pentagon -> 3 fan triangles
+    v, f = mesh["vertices"], mesh["faces"]
+    # every fan triangle shares the pentagon's first corner (0,0,0)
+    first = v[f[:, 0]]
+    np.testing.assert_allclose(first, np.zeros((3, 3)), atol=1e-12)
