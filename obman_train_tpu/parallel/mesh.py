@@ -12,6 +12,13 @@ This model is a small CNN (no TP/PP need — SURVEY.md §5 "long-context":
 the large axes are batch and point counts, which fit on one chip), so the
 mesh is deliberately 1-D; the helpers still accept arbitrary shapes for
 forward-compatibility (e.g. ("data", "model")).
+
+Known multi-host limitation: the TRAINING path (losses replicated,
+gradients all-reduced by XLA) is multi-host complete, but the host-side
+eval consumers (PCK evaluator feed, figures, result dumps) read result
+arrays with np.asarray, which requires fully-addressable arrays — on
+true multi-process runs those paths need a local-shard gather that is
+not implemented (and cannot be exercised on this single-process setup).
 """
 
 from __future__ import annotations
