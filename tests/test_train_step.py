@@ -176,3 +176,27 @@ def test_grad_accum_full_config(net, rng):
     bad = make_train_step(net, tx, spec, donate=False, accum_steps=3)
     with pytest.raises(ValueError, match="not divisible"):
         bad(state, batch, jax.random.PRNGKey(0))
+
+
+@pytest.mark.fast
+def test_grad_accum_with_device_augment(net, rng):
+    """--grad_accum with --device_augment: the batch carries a rank-0
+    per-batch ``aug_order`` and uint8 images; the microbatch split must
+    broadcast the non-batch-dim leaves instead of reshaping them
+    (ADVICE r2: a blanket reshape crashed at trace time)."""
+    B = 4
+    batch = make_batch(rng, B=B)
+    batch["images"] = jnp.asarray(
+        (np.asarray(rng.random((B, 64, 64, 3))) * 255).astype(np.uint8)
+    )
+    batch["aug_factors"] = jnp.asarray(
+        rng.uniform(0.8, 1.2, (B, 4)).astype(np.float32)
+    )
+    batch["aug_order"] = jnp.int32(7)
+    spec = BatchSpec()
+    tx = make_optimizer(TrainConfig())
+    state = create_train_state(net, tx, batch, spec)
+    step = make_train_step(net, tx, spec, donate=False, accum_steps=2)
+    new_state, losses = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(losses["total_loss"]))
+    assert int(new_state.step) == 1
