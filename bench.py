@@ -217,12 +217,38 @@ def main():
     )
     f32_out = jfn(ho_variables, frames, sides)
 
-    # 2b) batch-1 latency on the headline config
+    # 2b) batch-1 latency on the headline config, decomposed into device
+    # compute vs transport (tunnel RTT + h2d/d2h + dispatch overhead).
+    # "pipelined" is _timeit's overlapped per-call time (throughput view);
+    # "request" blocks on a host-read scalar EVERY call (true latency —
+    # block_until_ready alone can return early on the tunnel); "null" runs
+    # a trivial kernel over the same input/output shapes, isolating the
+    # transport floor, so device_ms ≈ request − null.
     frame1 = frames[:1]
     side1 = sides[:1]
     dt1 = _timeit(jfn, (ho_variables, frame1, side1))
+
+    def _request_lat(fn, args, iters=max(10, BENCH_ITERS)):
+        def _read(out):
+            return float(jnp.sum(jax.tree_util.tree_leaves(out)[0]))
+
+        for _ in range(iters):          # warm: fresh executables run slow
+            _read(fn(*args))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            _read(fn(*args))
+        return (time.perf_counter() - t0) / iters
+
+    null_fn = jax.jit(
+        lambda f, s: (f[0, :2, :2].astype(jnp.float32).sum() + s[0],)
+    )
+    null_ms = _request_lat(null_fn, (frame1, side1)) * 1e3
+    req_ms = _request_lat(jfn, (ho_variables, frame1, side1)) * 1e3
     results["single_frame_latency"] = {
         "latency_ms": dt1 * 1e3, "fps": 1.0 / dt1, "batch": 1,
+        "request_ms": req_ms,
+        "transport_ms": null_ms,
+        "device_ms": max(req_ms - null_ms, 0.0),
     }
 
     # 2c) bfloat16 encoder path: same (f32) params, bf16 compute
@@ -396,20 +422,28 @@ def main():
 
     # clamp so tiny smoke pipeline sizes still yield >= 1 (drop-last) batch
     pipe_batch = min(64, BENCH_PIPELINE_SIZE)
+    host_cores = os.cpu_count() or 1
     for aug_name, device_augment in (("host_aug", False), ("device_aug", True)):
         ds = get_dataset(
             "synthetic", "train", meta={"size": BENCH_PIPELINE_SIZE},
             device_augment=device_augment,
         )
         loader = BatchLoader(ds, batch_size=pipe_batch, num_workers=8, seed=0)
-        n = 0
+        for batch in loader:  # warmup epoch: imports, cv2 thread pools,
+            pass              # page-ins — first-epoch noise swamped the
+        n = 0                 # host_aug/device_aug comparison before
         t0 = time.perf_counter()
-        for batch in loader:
-            n += batch["images"].shape[0]
+        for _ in range(2):
+            for batch in loader:
+                n += batch["images"].shape[0]
         dt = time.perf_counter() - t0
         results[f"input_pipeline_{aug_name}"] = {
             "samples_per_sec": n / dt, "workers": 8, "batch": pipe_batch,
             "samples": n,
+            # context the numbers can't travel without: per-sample host
+            # cost scales with cores (the bench box has had 1)
+            "host_cores": host_cores,
+            "samples_per_sec_per_core": n / dt / host_cores,
         }
 
     # 8) end-to-end training throughput: host loader feeding the device
@@ -458,7 +492,10 @@ def main():
     dt = time.perf_counter() - t0
     results["end_to_end_train"] = {
         "samples_per_sec": n / dt, "batch": e2e_batch, "workers": 2,
-        "note": "synthetic loader + full train step, device_augment",
+        "host_cores": host_cores,
+        "note": "synthetic loader + full train step, device_augment; "
+                "host-bound when device-only throughput exceeds "
+                "samples_per_sec (scale loader cores/hosts)",
     }
 
     with open("bench_details.json", "w") as f:

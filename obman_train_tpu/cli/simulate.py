@@ -17,7 +17,12 @@ def main(argv=None):
     parser.add_argument("--backend", default="native",
                         choices=["native", "pybullet"])
     parser.add_argument("--intersect", action="store_true",
-                        help="also compute voxel intersection volumes")
+                        help="also compute intersection volumes")
+    parser.add_argument("--intersect_mode", default="voxels",
+                        choices=["voxels", "engines"],
+                        help="'voxels' (reference default, built-in) or "
+                             "'engines' (exact trimesh scad/blender "
+                             "booleans; needs those installed)")
     parser.add_argument("--pitch", type=float, default=0.005)
     parser.add_argument("--vhacd_exe", default=None,
                         help="V-HACD executable (forces the pybullet backend)")
@@ -36,7 +41,9 @@ def main(argv=None):
     if args.intersect:
         from obman_train_tpu.simulation.intersect import full_intersect
 
-        inter = full_intersect(args.exp_id, pitch=args.pitch)
+        inter = full_intersect(
+            args.exp_id, pitch=args.pitch, mode=args.intersect_mode
+        )
         print("intersection:", inter)
     return summary
 

@@ -40,6 +40,9 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--segment", action="store_true",
                    help="obman: blacken non-hand/object pixels via the segm maps")
     d.add_argument("--synthetic_size", type=int, default=256)
+    d.add_argument("--image_size", type=int, default=256,
+                   help="input resolution (reference fixes 256; smaller "
+                        "values speed up smokes/tests)")
     d.add_argument("--obman_root", default="datasymlinks/obman")
     d.add_argument("--shapenet_root", default="datasymlinks/ShapeNetCore.v2")
 
@@ -159,7 +162,11 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--distributed", action="store_true",
                    help="multi-host: call jax.distributed.initialize() "
                         "(coordinator/process env vars per JAX docs); the "
-                        "same SPMD program then spans all hosts' devices")
+                        "same SPMD program then spans all hosts' devices. "
+                        "--train_batch/--test_batch stay GLOBAL batch "
+                        "sizes: each process loads its rank's slice of "
+                        "every batch, so results match the single-process "
+                        "run with the same seed")
     return p
 
 
@@ -179,6 +186,7 @@ def args_to_config(args):
 
     model = ModelConfig(
         resnet_version=args.resnet_version,
+        image_size=args.image_size,
         fc_dropout=args.fc_dropout,
         absolute_lambda=opt(args.absolute_lambda),
         compute_dtype=args.compute_dtype,
@@ -299,8 +307,43 @@ def main(argv=None):
 
     import jax
 
+    # In images where a preloaded PJRT plugin pins the platform at
+    # interpreter start (sitecustomize), the JAX_PLATFORMS env var is
+    # consulted too early to override — only the config API works.
+    # OBMAN_PLATFORM=cpu is how tests/CI force this CLI onto the CPU
+    # backend (tests/test_distributed.py; same trap as bench.py's
+    # OBMAN_BENCH_CPU).
+    if os.environ.get("OBMAN_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["OBMAN_PLATFORM"])
+
     if args.distributed:
-        jax.distributed.initialize()
+        # CPU multi-process runs need a cross-process collectives backend;
+        # harmless elsewhere (flag name varies across jax versions)
+        try:
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        except Exception:
+            pass
+        # NOTE on compile skew: processes must reach each collective
+        # within the gloo communicator's 30 s key-value rendezvous window
+        # or the launch dies with "Gloo context initialization failed:
+        # GetKeyValue() timed out".  Keep compilation SYMMETRIC across
+        # ranks.  Beware two asymmetry traps measured on CPU multi-process
+        # runs: (1) the persistent compilation cache is written by
+        # process 0 only AND keyed per-process, so with a cache one rank
+        # is warm while the others compile cold — disable the cache for
+        # co-located multi-process smokes (tests/test_distributed.py);
+        # (2) jax_share_binary_between_hosts strands non-lead ranks when
+        # the lead hits its disk cache and skips the publish.
+        # explicit coordinator env vars (this jax has no generic env-based
+        # cluster autodetection; TPU pods autodetect with no kwargs)
+        kw = {}
+        if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+            kw = dict(
+                coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
+                num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+                process_id=int(os.environ["JAX_PROCESS_ID"]),
+            )
+        jax.distributed.initialize(**kw)
 
     from obman_train_tpu.data.factory import get_dataset
     from obman_train_tpu.data.loader import (
@@ -319,24 +362,26 @@ def main(argv=None):
     from obman_train_tpu.train.loop import fit, _to_device
 
     os.makedirs(cfg.exp_id, exist_ok=True)
-    with open(os.path.join(cfg.exp_id, "opt.txt"), "a") as f:
-        f.write(" ".join(sys.argv) + "\n")
-        # Embed git describe + commit like the reference (argutils.py:35-47).
-        import subprocess
+    if jax.process_index() == 0:  # single writer on multi-process runs
+        with open(os.path.join(cfg.exp_id, "opt.txt"), "a") as f:
+            f.write(" ".join(sys.argv) + "\n")
+            # Embed git describe + commit like the reference
+            # (argutils.py:35-47).
+            import subprocess
 
-        try:
-            label = subprocess.check_output(
-                ["git", "describe", "--always"],
-                stderr=subprocess.DEVNULL,
-            ).decode().strip()
-            commit = subprocess.check_output(
-                ["git", "rev-parse", "HEAD"], stderr=subprocess.DEVNULL
-            ).decode().strip()
-            f.write("=== Git info ====\n")
-            f.write(f"{label}\ncommit : {commit}\n")
-        except (subprocess.CalledProcessError, FileNotFoundError):
-            pass  # not a git checkout
-    cfg.to_json(os.path.join(cfg.exp_id, "opt.json"))
+            try:
+                label = subprocess.check_output(
+                    ["git", "describe", "--always"],
+                    stderr=subprocess.DEVNULL,
+                ).decode().strip()
+                commit = subprocess.check_output(
+                    ["git", "rev-parse", "HEAD"], stderr=subprocess.DEVNULL
+                ).decode().strip()
+                f.write("=== Git info ====\n")
+                f.write(f"{label}\ncommit : {commit}\n")
+            except (subprocess.CalledProcessError, FileNotFoundError):
+                pass  # not a git checkout
+        cfg.to_json(os.path.join(cfg.exp_id, "opt.json"))
     print(f"Devices: {jax.devices()}")
 
     net = build_handnet(
@@ -348,6 +393,7 @@ def main(argv=None):
         "segment": args.segment,
         "override_scale": cfg.data.override_scale,
         "size": args.synthetic_size,
+        "img_res": args.image_size,
         "obman_root": args.obman_root,
         "shapenet_root": args.shapenet_root,
         "fhbhands_split_type": args.fhbhands_split_type,
@@ -368,27 +414,22 @@ def main(argv=None):
                 train_it=train_it, mini_factor=cfg.data.mini_factor,
                 point_nb=cfg.data.point_nb, center_idx=cfg.data.center_idx,
                 limit_size=limit, device_augment=args.device_augment,
+                inp_res=args.image_size,
             )
             print(f"{name}/{split}: {len(ds)} samples")
-            if not train_it and jax.process_count() > 1:
-                # multi-host eval: shuffle=False would make every host
-                # stream the SAME samples into the global batch — give
-                # each process a strided shard of the val set instead
-                from obman_train_tpu.data.factory import Subset
-
-                ds = Subset(
-                    ds,
-                    range(jax.process_index(), len(ds), jax.process_count()),
-                )
             loaders.append(
                 BatchLoader(
                     ds, batch_size=batch_size, shuffle=train_it,
                     drop_last=True, num_workers=cfg.data.workers,
-                    # multi-host: each process loads a distinct stream; the
-                    # global batch is assembled in parallel.shard_batch
-                    seed=cfg.train.manual_seed
-                    + 7919 * jax.process_index(),
+                    # multi-host: batch_size is the GLOBAL batch; every
+                    # process walks the same seeded order and loads its
+                    # rank's contiguous slice of each batch, which
+                    # parallel.shard_batch reassembles — the global stream
+                    # is identical to a single-process run with this seed
+                    seed=cfg.train.manual_seed,
                     use_processes=args.loader_processes,
+                    process_rank=jax.process_index(),
+                    process_count=jax.process_count(),
                 )
             )
             metas.append(loader_meta(name, split))

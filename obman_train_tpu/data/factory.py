@@ -52,6 +52,7 @@ def make_pose_dataset(dat_name: str, split: str, meta: dict, mini_factor=None):
             "obman_train_tpu.data.synthetic", fromlist=["SyntheticDataset"]
         ).SyntheticDataset(
             size=meta.get("size", 64),
+            img_res=meta.get("img_res", 256),
             split=split,
         )
     if dat_name == "obman":

@@ -129,7 +129,15 @@ class BatchLoader:
 
     ``use_processes=True`` runs augmentation in spawned worker processes
     (the reference's torch DataLoader model, traineval.py:223-230);
-    ``False`` uses threads (no spawn cost, fine for light pipelines)."""
+    ``False`` uses threads (no spawn cost, fine for light pipelines).
+
+    Multi-process SPMD (``--distributed``): pass ``process_rank`` /
+    ``process_count`` and every process walks the SAME shuffled global
+    order but loads only its contiguous ``batch_size/process_count``
+    slice of each global batch.  ``parallel.shard_batch`` then assembles
+    the global array as the rank-ordered concatenation of those slices,
+    so the global training stream is IDENTICAL to a single-process run
+    with the same seed — batch_size stays the GLOBAL batch size."""
 
     def __init__(
         self,
@@ -141,6 +149,8 @@ class BatchLoader:
         seed: int = 0,
         model_batch: bool = True,
         use_processes: bool = False,
+        process_rank: int = 0,
+        process_count: int = 1,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -150,6 +160,19 @@ class BatchLoader:
         self.seed = seed
         self.model_batch = model_batch
         self.use_processes = use_processes
+        self.process_rank = process_rank
+        self.process_count = process_count
+        if process_count > 1:
+            if batch_size % process_count:
+                raise ValueError(
+                    f"global batch {batch_size} not divisible by "
+                    f"{process_count} processes"
+                )
+            if not drop_last:
+                raise ValueError(
+                    "process-sliced loading needs drop_last=True (a ragged "
+                    "tail batch cannot be split evenly across processes)"
+                )
         self._pool = None
         self._epoch = 0
 
@@ -219,6 +242,11 @@ class BatchLoader:
             order[i * self.batch_size : (i + 1) * self.batch_size]
             for i in range(n_batches)
         ]
+        if self.process_count > 1:
+            # this process's contiguous slice of each GLOBAL batch
+            per = self.batch_size // self.process_count
+            lo = self.process_rank * per
+            batches = [b[lo : lo + per] for b in batches]
 
         from collections import deque
 

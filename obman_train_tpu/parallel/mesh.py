@@ -13,12 +13,15 @@ the large axes are batch and point counts, which fit on one chip), so the
 mesh is deliberately 1-D; the helpers still accept arbitrary shapes for
 forward-compatibility (e.g. ("data", "model")).
 
-Known multi-host limitation: the TRAINING path (losses replicated,
-gradients all-reduced by XLA) is multi-host complete, but the host-side
-eval consumers (PCK evaluator feed, figures, result dumps) read result
-arrays with np.asarray, which requires fully-addressable arrays — on
-true multi-process runs those paths need a local-shard gather that is
-not implemented (and cannot be exercised on this single-process setup).
+Multi-process (multi-host) runs: the training path keeps losses
+replicated and lets XLA all-reduce gradients; the host-side eval
+consumers (PCK evaluator feed, figures, result dumps) read their
+process-LOCAL rows via :func:`local_shard` and the PCK evaluator
+all-gathers its pooled errors across processes at epoch end
+(train/metrics.py ``EvalUtil.merge_distributed``).  Artifact writers
+(checkpoints, logs, figures) run on process 0 only.  Exercised for real
+by tests/test_distributed.py, which SPAWNS two jax.distributed processes
+and matches the single-process run.
 """
 
 from __future__ import annotations
@@ -54,6 +57,37 @@ def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def local_shard(arr) -> np.ndarray:
+    """Host-read an array that may be globally sharded across processes.
+
+    Fully-addressable arrays (single-process, or host numpy) pass through
+    as ``np.asarray``.  On multi-process runs: replicated arrays return
+    the full value from any local shard; leading-dim-sharded arrays
+    return THIS process's rows concatenated in global index order — which
+    are exactly the rows this process contributed through
+    :func:`shard_batch` (``jax.make_array_from_process_local_data`` keeps
+    process-local data on the process's own devices), so host-side
+    consumers can pair them with the process-local input batch.
+    """
+    if isinstance(arr, np.ndarray) or not hasattr(arr, "addressable_shards"):
+        return np.asarray(arr)
+    if getattr(arr, "is_fully_addressable", True):
+        return np.asarray(arr)
+    by_start = {}
+    for s in arr.addressable_shards:
+        start = 0
+        if arr.ndim and s.index:
+            start = s.index[0].start or 0
+        by_start.setdefault(start, s.data)
+    if len(by_start) == 1:
+        only = np.asarray(next(iter(by_start.values())))
+        if only.shape == arr.shape:  # replicated (incl. scalars)
+            return only
+    return np.concatenate(
+        [np.asarray(by_start[k]) for k in sorted(by_start)], axis=0
+    )
 
 
 def infer_batch_size(batch: dict) -> int:

@@ -55,14 +55,55 @@ def intersect_vox(
     return float(occ_o.sum()) * pitch**3
 
 
+def intersect_engines(
+    hand_verts: np.ndarray,
+    hand_faces: np.ndarray,
+    obj_verts: np.ndarray,
+    obj_faces: np.ndarray,
+) -> Optional[float]:
+    """Exact boolean intersection volume, the reference's ``mode="engines"``
+    (netscripts/intersect.py:82-111): scad first, blender fallback, None
+    for a non-watertight result.  Requires trimesh + openscad/blender in
+    the image — gated like the pybullet simulation backend (this image
+    ships neither; tests auto-skip)."""
+    import trimesh
+
+    obj_mesh = trimesh.Trimesh(vertices=obj_verts, faces=obj_faces)
+    hand_mesh = trimesh.Trimesh(vertices=hand_verts, faces=hand_faces)
+    trimesh.repair.fix_normals(obj_mesh)
+
+    def _try(engine):
+        inter = obj_mesh.intersection(hand_mesh, engine=engine)
+        if inter.vertices.shape[0] == 0:
+            return 0.0
+        return float(inter.volume) if inter.is_watertight else None
+
+    try:
+        vol = _try("scad")
+        if vol is not None:
+            return vol
+    except Exception:
+        pass
+    return _try("blender")
+
+
 def full_intersect(
-    exp_id: str, pitch: float = 0.005, workers: int = 0
+    exp_id: str, pitch: float = 0.005, workers: int = 0,
+    mode: str = "voxels",
 ) -> Dict:
     """Aggregate intersection volumes over an epoch's saved batches
-    (netscripts/intersect.py:53-114); meshes are mm -> converted to m."""
+    (netscripts/intersect.py:53-114); meshes are mm -> converted to m.
+
+    ``mode="voxels"`` (reference default) counts doubly-occupied voxels at
+    ``pitch``; ``mode="engines"`` uses exact trimesh booleans when trimesh
+    is importable and skips samples whose boolean comes back
+    non-watertight (the reference counted those as skipped too)."""
     from obman_train_tpu.simulation.savemano import load_batch_info
 
+    if mode not in ("voxels", "engines"):
+        raise ValueError(f"unknown intersect mode {mode!r}")
     volumes = []
+    skipped = 0
     for name in sorted(os.listdir(exp_id)):
         if not (name.startswith("batch_") and name.endswith(".pkl")):
             continue
@@ -70,16 +111,28 @@ def full_intersect(
                                  compute_depth=False):
             if s["obj_faces"] is None:
                 continue
-            volumes.append(
-                intersect_vox(
+            if mode == "engines":
+                vol = intersect_engines(
                     s["hand_verts"] * 0.001, s["hand_faces"],
-                    s["obj_verts"] * 0.001, s["obj_faces"], pitch=pitch,
+                    s["obj_verts"] * 0.001, s["obj_faces"],
                 )
-            )
+                if vol is None:
+                    skipped += 1
+                    continue
+                volumes.append(vol)
+            else:
+                volumes.append(
+                    intersect_vox(
+                        s["hand_verts"] * 0.001, s["hand_faces"],
+                        s["obj_verts"] * 0.001, s["obj_faces"], pitch=pitch,
+                    )
+                )
     summary = {
         "mean_volume": float(np.mean(volumes)) if volumes else 0.0,
         "std_volume": float(np.std(volumes)) if volumes else 0.0,
         "sample_nb": len(volumes),
+        "skipped": skipped,
+        "mode": mode,
         "pitch": pitch,
     }
     out_dir = os.path.join(exp_id, "intersect_results")

@@ -230,14 +230,16 @@ def _run_pybullet(hand_verts, hand_faces, obj_verts, obj_faces, vhacd_exe):
     return float(np.linalg.norm(end - start))
 
 
-def _save_trajectory_gif(path, hand_verts, hand_faces, obj_verts, traj):
-    """Animated 3D view of the object sliding through the grasp (the
-    reference saved per-sample videos via skvideo, simulate.py:43-108)."""
+def _save_trajectory_video(base, hand_verts, hand_faces, obj_verts, traj,
+                           fps: int = 12):
+    """Animated 3D view of the object sliding through the grasp: renders
+    the frames once, then writes ``<base>.gif`` (always) and ``<base>.mp4``
+    via cv2.VideoWriter when the codec is available — the reference saved
+    per-sample mp4s via skvideo (simulate.py:43-108)."""
     import matplotlib
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
-    from matplotlib.animation import FuncAnimation, PillowWriter
     from mpl_toolkits.mplot3d.art3d import Poly3DCollection
 
     fig = plt.figure(figsize=(4, 4))
@@ -257,14 +259,34 @@ def _save_trajectory_gif(path, hand_verts, hand_faces, obj_verts, traj):
     ax.invert_yaxis()  # gravity is +y in the simulation frame
     ax.axis("off")
 
-    def update(i):
+    frames = []
+    for i in range(len(traj)):
         pts = sub + (traj[i] - com)
         scat._offsets3d = (pts[:, 0], pts[:, 1], pts[:, 2])
-        return (scat,)
-
-    anim = FuncAnimation(fig, update, frames=len(traj), blit=False)
-    anim.save(path, writer=PillowWriter(fps=12))
+        fig.canvas.draw()
+        frames.append(np.asarray(fig.canvas.buffer_rgba())[..., :3].copy())
     plt.close(fig)
+
+    from PIL import Image
+
+    ims = [Image.fromarray(f) for f in frames]
+    ims[0].save(
+        base + ".gif", save_all=True, append_images=ims[1:],
+        duration=int(1000 / fps), loop=0,
+    )
+    try:
+        import cv2
+
+        h, w = frames[0].shape[:2]
+        vw = cv2.VideoWriter(
+            base + ".mp4", cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h)
+        )
+        if vw.isOpened():
+            for f in frames:
+                vw.write(f[..., ::-1])  # RGB -> BGR
+        vw.release()
+    except Exception as e:  # mp4 is best-effort beside the gif
+        warnings.warn(f"mp4 write skipped: {e}")
 
 
 def process_sample(
@@ -279,7 +301,7 @@ def process_sample(
 
     With ``save_artifacts`` (reference simulate.py:43-108 saved obj + video
     per sample): writes hand/obj wavefront dumps, the object-center
-    trajectory (npy) and an animated gif under ``save_dir``.
+    trajectory (npy) and an animated gif + mp4 under ``save_dir``.
     """
     want_traj = save_artifacts and save_dir is not None
     sim = run_simulation(
@@ -310,11 +332,13 @@ def process_sample(
             save_obj(base + "_obj.obj", ov, sample["obj_faces"])
         np.save(base + "_traj.npy", traj)
         try:
-            _save_trajectory_gif(
-                base + ".gif", hv, np.asarray(sample["hand_faces"]), ov, traj
+            _save_trajectory_video(
+                base, hv, np.asarray(sample["hand_faces"]), ov, traj
             )
-        except Exception as e:  # gif rendering must never fail the metric
-            warnings.warn(f"gif rendering failed for sample {sample_idx}: {e}")
+        except Exception as e:  # rendering must never fail the metric
+            warnings.warn(
+                f"video rendering failed for sample {sample_idx}: {e}"
+            )
     return out
 
 

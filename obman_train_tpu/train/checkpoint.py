@@ -42,9 +42,22 @@ def save_checkpoint(
     is_best: bool = False,
     snapshot: int = 0,
 ) -> str:
-    """Write ``<exp_dir>/checkpoint`` (+ snapshot/best copies)."""
+    """Write ``<exp_dir>/checkpoint`` (+ snapshot/best copies).
+
+    Multi-process runs must call this on EVERY process: orbax's save runs
+    an internal cross-process sync barrier, so a rank-0-only call
+    deadlocks the primary (observed: rank 0 hung in save while rank 1 hit
+    the jax shutdown barrier).  Cross-process (non-fully-addressable)
+    state leaves — all replicated — are pulled to host numpy via their
+    local shard first; orbax then writes host arrays from the primary
+    process only.  The JSON sidecar is written by process 0 alone.
+    """
     exp_dir = os.path.abspath(exp_dir)
     os.makedirs(exp_dir, exist_ok=True)
+    if jax.process_count() > 1:
+        from obman_train_tpu.parallel.mesh import local_shard
+
+        state = jax.tree_util.tree_map(local_shard, state)
     payload = {"state": state, "epoch": np.asarray(epoch)}
     ckptr = _ckptr()
     path = os.path.join(exp_dir, "checkpoint")
@@ -54,7 +67,7 @@ def save_checkpoint(
                    force=True)
     if is_best:
         ckptr.save(os.path.join(exp_dir, "model_best"), payload, force=True)
-    if config is not None:
+    if config is not None and jax.process_index() == 0:
         config.to_json(os.path.join(exp_dir, CONFIG_NAME))
     return path
 

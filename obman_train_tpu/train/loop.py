@@ -101,17 +101,36 @@ def epoch_pass(
     hand_faces: Optional[np.ndarray] = None,
 ):
     """One pass over ``loader``; returns (state, avg_meters, pck_info)."""
+    from obman_train_tpu.parallel.mesh import local_shard
+
     avg_meters = AverageMeters()
     time_meters = AverageMeters()
     evaluator = EvalUtil()
     rng = jax.random.PRNGKey(rng_seed)
+    if jax.process_count() > 1:
+        # a process-local key can't feed the global-mesh jit, and passing
+        # host numpy would make every step's input commit run a blocking
+        # cross-process assert_equal — build the replicated global array
+        # once, communication-free
+        from obman_train_tpu.parallel.mesh import replicated
+
+        rng = jax.make_array_from_process_local_data(
+            replicated(steps.mesh), np.asarray(rng)
+        )
     end = time.time()
+    rank = jax.process_index()
+    multiproc = jax.process_count() > 1
+    # NOTE: anything jitted over the global mesh (the figure eval forward
+    # included) is a COLLECTIVE program — every process must execute it in
+    # the same order, so display_step/display_dir stay rank-independent
+    # and only the file write below is gated to process 0.
 
     def _process_outputs(
         batch_idx, batch, device_batch, root, results, fig_results
     ):
-        if display_dir is not None and fig_results is not None:
-            # Periodic qualitative figure (epochpass3d.py:126-134).
+        if display_dir is not None and fig_results is not None and rank == 0:
+            # Periodic qualitative figure (epochpass3d.py:126-134);
+            # single writer — process 0 renders its local rows.
             try:
                 from obman_train_tpu.visualize.displaymano import (
                     visualize_batch,
@@ -124,10 +143,11 @@ def epoch_pass(
                     else _default_hand_faces()
                 )
                 def to_np(v):
-                    # contact_info is a nested dict of arrays
+                    # contact_info is a nested dict of arrays; local_shard
+                    # reads the process-local rows of cross-process arrays
                     if isinstance(v, dict):
                         return {k: to_np(x) for k, x in v.items()}
-                    return np.asarray(v)
+                    return local_shard(v)
 
                 visualize_batch(
                     os.path.join(display_dir, f"img_{batch_idx:06d}.png"),
@@ -141,11 +161,13 @@ def epoch_pass(
 
         if results is not None and "joints" in results:
             if "joints3d" in batch:
-                # GT joints come from the HOST batch (already numpy) — the
-                # device copy would cost a d2h round trip per step
+                # GT joints come from the HOST batch (already numpy, and
+                # process-local on multi-process runs — matching the local
+                # prediction rows local_shard reads); the device copy would
+                # cost a d2h round trip per step
                 evaluator.feed(
                     np.asarray(batch["joints3d"])[:, EVAL_JOINT_IDXS],
-                    np.asarray(results["joints"])[:, EVAL_JOINT_IDXS],
+                    local_shard(results["joints"])[:, EVAL_JOINT_IDXS],
                 )
             if not train and save_results_dir is not None:
                 os.makedirs(save_results_dir, exist_ok=True)
@@ -156,13 +178,17 @@ def epoch_pass(
                         if isinstance(v, np.ndarray)
                     },
                     "results": {
-                        k: np.asarray(v) for k, v in results.items()
+                        k: local_shard(v) for k, v in results.items()
                     },
                     "root": root,
                 }
+                # multi-process: each process dumps its own shard of the
+                # val set (together they cover every sample exactly once)
+                suffix = f"_rank{rank}" if multiproc else ""
                 with open(
                     os.path.join(
-                        save_results_dir, f"batch_{batch_idx:06d}.pkl"
+                        save_results_dir,
+                        f"batch_{batch_idx:06d}{suffix}.pkl",
                     ),
                     "wb",
                 ) as f:
@@ -265,6 +291,9 @@ def epoch_pass(
         avg_meters.add_loss_value(key, meter.avg)
 
     pck_info = {}
+    # multi-process: pool the per-process error shards so every process
+    # reports the GLOBAL metrics (no-op single-process)
+    evaluator.merge_distributed()
     epe_mean, _, epe_median, auc, pck_curve, thresholds = (
         evaluator.get_measures(0, 50, 20)
     )
@@ -331,7 +360,33 @@ def fit(
         if getattr(cfg, "host_folder", None)
         else None
     )
-    monitor = Monitor(cfg.exp_id, hosting_folder=hosting)
+    # multi-process: process 0 owns logs and figures (losses/metrics are
+    # identical on every process: losses are replicated, PCK pools are
+    # all-gathered); checkpoints go through orbax, whose multi-process
+    # save coordinates its own single-writer protocol
+    is_main = jax.process_index() == 0
+    monitor = Monitor(cfg.exp_id, hosting_folder=hosting) if is_main else None
+    multiproc = jax.process_count() > 1
+    rep = None
+    if multiproc:
+        # init/restore produced process-LOCAL arrays; the global-mesh jit
+        # needs globally-replicated inputs.  Every process holds identical
+        # values (same seeds / same checkpoint), so build the global
+        # arrays from the local data WITHOUT communication
+        # (make_array_from_process_local_data, like parallel.shard_batch).
+        # NOT jax.device_put: an eager device_put onto a cross-process
+        # sharding runs a per-leaf assert_equal allgather — hundreds of
+        # blocking gloo collectives whose 30 s rendezvous dies whenever
+        # the ranks drift (observed on the 1-core CI host).
+        from obman_train_tpu.parallel.mesh import local_shard, replicated
+
+        rep = replicated(mesh)
+        state = jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                rep, local_shard(x)
+            ),
+            state,
+        )
     steps = StepCache(
         net, tx, train_bn=not cfg.train.freeze_batchnorm, mesh=mesh,
         accum_steps=cfg.train.grad_accum,
@@ -360,7 +415,8 @@ def fit(
             for k in ("auc", "epe_mean", "epe_median"):
                 if k in train_pck:
                     train_dict[k] = train_pck[k]
-            monitor.log_train(epoch + 1, train_dict)
+            if monitor:
+                monitor.log_train(epoch + 1, train_dict)
 
         save_dir = None
         if cfg.save_results:
@@ -381,11 +437,12 @@ def fit(
         for k in ("auc", "epe_mean", "epe_median"):
             if k in pck_info:
                 val_dict[k] = pck_info[k]
-        monitor.log_val(epoch + 1, val_dict)
-        if pck_info:
-            _save_pck_artifacts(cfg, epoch, pck_info, val_loader)
-        monitor.save_metrics()
-        monitor.plot_metrics()
+        if monitor:
+            monitor.log_val(epoch + 1, val_dict)
+            if pck_info:
+                _save_pck_artifacts(cfg, epoch, pck_info, val_loader)
+            monitor.save_metrics()
+            monitor.plot_metrics()
 
         if cfg.evaluate:
             return state, val_dict
@@ -397,6 +454,9 @@ def fit(
             score, is_better = val_dict["total_loss"], lambda s, b: s < b
         is_best = best_score is None or is_better(score, best_score)
         best_score = score if is_best else best_score
+        # every process calls: orbax saves run an internal cross-process
+        # barrier (a rank-0-only call deadlocks); orbax itself writes the
+        # arrays from the primary process only
         save_checkpoint(
             cfg.exp_id, state, epoch + 1, config=cfg,
             is_best=is_best, snapshot=cfg.train.snapshot,
@@ -405,8 +465,20 @@ def fit(
         if cfg.train.regul_decay_gamma != 1.0 and (
             epoch % cfg.train.regul_decay_step == 0
         ):
-            state = state._replace(
-                regul_scale=state.regul_scale
-                * jnp.asarray(cfg.train.regul_decay_gamma)
-            )
-    return state, monitor.metrics
+            if multiproc:
+                # eager math on cross-process arrays is restricted: decay
+                # on the host, re-place replicated (communication-free —
+                # see the state replication above for why not device_put)
+                from obman_train_tpu.parallel.mesh import local_shard
+
+                new_scale = jax.make_array_from_process_local_data(
+                    rep,
+                    local_shard(state.regul_scale)
+                    * np.float32(cfg.train.regul_decay_gamma),
+                )
+            else:
+                new_scale = state.regul_scale * jnp.asarray(
+                    cfg.train.regul_decay_gamma
+                )
+            state = state._replace(regul_scale=new_scale)
+    return state, (monitor.metrics if monitor else {})

@@ -82,6 +82,87 @@ class EvalUtil:
             return None, None
         return np.concatenate(self._dists, 0), np.concatenate(self._vis, 0)
 
+    def merge_distributed(self):
+        """On multi-process runs, all-gather the pooled errors so every
+        process computes the GLOBAL PCK/EPE/AUC (the eval consumers of the
+        reference contract, epochpass3d.py:141-151/168-175, see a full
+        validation set instead of one host's shard).  No-op single-process.
+
+        When every process fed the same sequence of batch shapes (the
+        process-sliced loader guarantees this), the merged pool is
+        reassembled in GLOBAL row order — batch by batch, processes
+        interleaved — so the result is bit-identical to the equivalent
+        single-process evaluation (f64 reductions are order-sensitive).
+        Otherwise it falls back to per-process concatenation, which pools
+        the same samples in a different order.
+        """
+        import jax
+
+        if jax.process_count() == 1:
+            return
+        from jax.experimental import multihost_utils as mhu
+
+        shapes = np.full((64, 2), -1, np.int32)
+        for i, d in enumerate(self._dists[:64]):
+            shapes[i] = d.shape
+        all_shapes = np.asarray(mhu.process_allgather(shapes))  # (P, 64, 2)
+        uniform = (
+            len(self._dists) <= 64
+            and (all_shapes == all_shapes[:1]).all()
+            and len({d.shape for d in self._dists}) <= 1
+        )
+        if uniform and self._dists:
+            # (F, b, K) f64, transported losslessly as uint32 pairs (the
+            # gather itself runs without x64 enabled)
+            d = np.ascontiguousarray(np.stack(self._dists))
+            v = np.ascontiguousarray(np.stack(self._vis))
+            f, b, k = d.shape
+            d32 = d.view(np.uint32).reshape(f, b, 2 * k)
+            all_d = np.asarray(mhu.process_allgather(d32))  # (P, F, b, 2K)
+            all_v = np.asarray(mhu.process_allgather(
+                v.astype(np.uint8)
+            ))  # (P, F, b, K)
+            p = all_d.shape[0]
+            d_glob = (
+                np.ascontiguousarray(all_d.transpose(1, 0, 2, 3))
+                .view(np.float64)
+                .reshape(f, p * b, k)
+            )
+            v_glob = (
+                all_v.transpose(1, 0, 2, 3).reshape(f, p * b, k).astype(bool)
+            )
+            self._dists = [d_glob[i] for i in range(f)]
+            self._vis = [v_glob[i] for i in range(f)]
+            return
+        # ragged fallback: pad to the max pool length, gather, unpad
+        dists, vis = self._pooled()
+        n = 0 if dists is None else dists.shape[0]
+        counts = np.asarray(mhu.process_allgather(np.asarray(n, np.int32)))
+        n_max = int(counts.max())
+        if n_max == 0:
+            return
+        k = self.num_kp
+        pad_d = np.zeros((n_max, k), np.float64)
+        pad_v = np.zeros((n_max, k), np.uint8)
+        if n:
+            pad_d[:n] = dists
+            pad_v[:n] = vis
+        d32 = np.ascontiguousarray(pad_d).view(np.uint32).reshape(n_max, 2 * k)
+        all_d = (
+            np.ascontiguousarray(np.asarray(mhu.process_allgather(d32)))
+            .view(np.float64)
+            .reshape(-1, n_max, k)
+        )
+        all_v = np.asarray(mhu.process_allgather(pad_v))
+        self._dists = [
+            all_d[p, : counts[p]] for p in range(len(counts)) if counts[p]
+        ]
+        self._vis = [
+            all_v[p, : counts[p]].astype(bool)
+            for p in range(len(counts))
+            if counts[p]
+        ]
+
     def get_measures(self, val_min: float, val_max: float, steps: int):
         """Returns (epe_mean_all, epe_mean_per_kp, epe_median_all, auc_all,
         pck_curve_all, thresholds) following the reference protocol

@@ -1,3 +1,5 @@
+import os
+
 import numpy as np
 import pytest
 
@@ -215,6 +217,124 @@ def test_incline_friction():
     assert d_slide > 3 * max(d_grip, 1e-4)
 
 
+def test_rolling_sphere_inertia():
+    """Angular analytic check: high friction cannot hold a SPHERE on an
+    incline — it rolls, with solid-sphere acceleration g·sinθ/(1+2/5) =
+    (5/7)·g·sinθ, strictly between 'held' (the box case,
+    test_incline_friction) and frictionless sliding g·sinθ.  Exercises the
+    friction-torque + inertia path of the impulse solver
+    (native/physics.cpp resolve_contact: rxt/inv_inertia terms)."""
+    from obman_train_tpu.simulation.simulate import (
+        DT,
+        GRAVITY_Y,
+        N_STEPS,
+        run_simulation,
+    )
+
+    tilt = np.deg2rad(25.0)
+    # perpendicular clearance: the plane through (0, y0, 0) with slope tanθ
+    # sits y0·cosθ below the sphere center — leave ~0.5 mm of true gap
+    y0 = (0.020 + 0.0005) / np.cos(tilt)
+    plane_v, plane_f = _plane_mesh(y=y0, half=0.25, n=14, tilt=tilt)
+    ball, ball_f = icosphere(2)
+    ball_mm = ball * 20.0  # 20 mm radius
+
+    d_roll = run_simulation(plane_v * 1000.0, plane_f, ball_mm)
+    d_slide = run_simulation(
+        plane_v * 1000.0, plane_f, ball_mm,
+        hand_friction=0.0, obj_friction=0.0,
+    )
+    t = DT * N_STEPS
+    expected_slide = 0.5 * GRAVITY_Y * np.sin(tilt) * t**2
+    # frictionless run reproduces the analytic slide (measured within 1%)
+    assert d_slide == pytest.approx(expected_slide, rel=0.1)
+    # rolling: moves substantially (not held like the box)...
+    assert d_roll > 0.25 * d_slide
+    # ...but slower than sliding (friction torque spins up the sphere;
+    # ideal solid-sphere ratio 5/7 ≈ 0.71, measured ≈ 0.44 — the faceted
+    # icosphere rocks vertex-to-vertex, dissipating beyond the smooth-case
+    # bound)
+    assert d_roll < 0.95 * d_slide
+
+
+def test_grasp_displacement_fixture():
+    """Regression guard for the first-party impulse solver: replay the 20
+    deterministic synthetic grasps (simulation/fixtures.py) and match the
+    committed displacements + final positions
+    (tools/capture_grasp_goldens.py).  The solver is double-precision
+    sequential C++, so reruns are deterministic; the tolerance only allows
+    for compiler/libm variation across images."""
+    from obman_train_tpu.simulation.fixtures import grasp_set
+    from obman_train_tpu.simulation.simulate import run_simulation
+
+    golden = np.load(
+        os.path.join(os.path.dirname(__file__), "goldens", "grasp_fixture.npz")
+    )
+    disps, finals = [], []
+    for g in grasp_set():
+        dist, traj = run_simulation(
+            g["hand_verts"], g["hand_faces"], g["obj_verts"], g["obj_faces"],
+            backend="native", return_trajectory=True,
+        )
+        disps.append(dist)
+        finals.append(traj[-1])
+    np.testing.assert_allclose(
+        np.asarray(disps), golden["displacements"], rtol=1e-6, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(finals), golden["final_positions"], rtol=1e-6, atol=1e-9
+    )
+    # the set spans regimes: settled grasps and clear free-falls
+    assert np.asarray(disps).min() < 0.02
+    assert np.asarray(disps).max() > 0.1
+
+
+def test_intersect_engines_exact_volume():
+    """`mode="engines"` (exact trimesh boolean, reference
+    intersect.py:82-111) runs whenever trimesh is installed; auto-skips
+    otherwise.  Two overlapping boxes have an analytic intersection."""
+    pytest.importorskip("trimesh")
+    from obman_train_tpu.simulation.intersect import intersect_engines
+
+    corners = np.array(
+        [[sx, sy, sz] for sx in (0, 1) for sy in (0, 1) for sz in (0, 1)],
+        np.float64,
+    )
+    faces = np.array(
+        [[0, 1, 3], [0, 3, 2], [4, 6, 7], [4, 7, 5], [0, 4, 5], [0, 5, 1],
+         [2, 3, 7], [2, 7, 6], [0, 2, 6], [0, 6, 4], [1, 5, 7], [1, 7, 3]],
+        np.int32,
+    )
+    vol = intersect_engines(
+        corners, faces, corners + 0.5, faces
+    )
+    if vol is not None:  # engines may be absent even with trimesh present
+        assert vol == pytest.approx(0.125, rel=1e-3)
+
+
+def test_pybullet_backend_matches_protocol():
+    """The verbatim-reference backend (simulate.py:181-230) runs whenever
+    pybullet is installed in the image; auto-skips otherwise.  A cradled
+    sphere must stay put and a clear drop must fall — the same regimes the
+    native fixture pins."""
+    pytest.importorskip("pybullet")
+    from obman_train_tpu.simulation.fixtures import grasp_set
+    from obman_train_tpu.simulation.simulate import run_simulation
+
+    grasps = grasp_set()
+    stable, falling = grasps[0], grasps[3]
+    d_stable = run_simulation(
+        stable["hand_verts"], stable["hand_faces"],
+        stable["obj_verts"], stable["obj_faces"], backend="pybullet",
+    )
+    d_fall = run_simulation(
+        falling["hand_verts"], falling["hand_faces"],
+        falling["obj_verts"], falling["obj_faces"], backend="pybullet",
+    )
+    assert d_stable < 0.05
+    assert d_fall > 0.08
+
+
 def test_process_sample_artifacts(tmp_path):
     """save_artifacts writes obj dumps, the trajectory and a gif
     (reference simulate.py:43-108 saved per-sample obj + video)."""
@@ -232,7 +352,9 @@ def test_process_sample_artifacts(tmp_path):
         7, sample, save_dir=str(tmp_path), save_artifacts=True
     )
     assert out["backend"] == "native"
-    for suffix in (".json", "_hand.obj", "_obj.obj", "_traj.npy", ".gif"):
+    for suffix in (
+        ".json", "_hand.obj", "_obj.obj", "_traj.npy", ".gif", ".mp4",
+    ):
         assert (tmp_path / f"000007{suffix}").exists(), suffix
     traj = np.load(tmp_path / "000007_traj.npy")
     assert traj.shape == (35, 3)
