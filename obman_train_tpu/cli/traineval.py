@@ -132,7 +132,7 @@ def build_parser() -> argparse.ArgumentParser:
                    "reference's DataLoader model; threads are the default "
                    "— see data/loader.py for the measured trade-off)")
     e.add_argument("--display_freq", type=int, default=500,
-                   help="qualitative figure every N batches "
+                   help="qualitative figure every N batches; 0 disables "
                    "(reference --test_display_freq)")
     e.add_argument("--epoch_display_freq", type=int, default=1,
                    help="render figures only every N epochs")

@@ -23,8 +23,44 @@ from functools import partial
 from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
+
+from obman_train_tpu.ops.maxpool import maxpool_3x3s2, maxpool_3x3s2_applicable
+from obman_train_tpu.ops.stemconv import stem_conv7x7, stem_conv_applicable
+
+
+class StemConv(nn.Module):
+    """The 7x7/2 stem conv, with an opt-in space-to-depth backward.
+
+    Parameter path and init match ``nn.Conv(64, (7,7), (2,2), padding=3,
+    use_bias=False)`` exactly (same "kernel" param, same initializer, same
+    forward numerics), so checkpoints and the torch importer are
+    unaffected.  The s2d gradient reroute is OFF by default — measured
+    slower inside the full train step (see ops/stemconv.py); set
+    ``OBMAN_STEM_S2D=1`` to experiment.
+    """
+
+    features: int = 64
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (7, 7, x.shape[-1], self.features),
+        )
+        x, kernel = nn.dtypes.promote_dtype(x, kernel, dtype=self.dtype)
+        if stem_conv_applicable(x.shape, kernel.shape, (2, 2),
+                                ((3, 3), (3, 3))):
+            return stem_conv7x7(x, kernel)
+        # Odd spatial dims: plain direct conv (same params, default VJP).
+        return jax.lax.conv_general_dilated(
+            x, kernel, (2, 2), ((3, 3), (3, 3)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
 
 
 class BasicBlock(nn.Module):
@@ -121,10 +157,16 @@ class ResNet(nn.Module):
             dtype=self.dtype,
             axis_name=self.bn_axis_name if train else None,
         )
-        x = nn.Conv(64, (7, 7), (2, 2), padding=3, use_bias=False,
-                    dtype=self.dtype, name="conv1")(x)
+        x = StemConv(features=64, dtype=self.dtype, name="conv1")(x)
         x = nn.relu(norm(name="bn1")(x))
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        if maxpool_3x3s2_applicable(x.shape):
+            # opt-in (OBMAN_POOL_EWBWD=1): identical forward, elementwise
+            # backward — measured slower in the full step (ops/maxpool.py)
+            x = maxpool_3x3s2(x)
+        else:
+            x = nn.max_pool(
+                x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1))
+            )
 
         inters = []
         widths = (64, 128, 256, 512)

@@ -233,8 +233,11 @@ def epoch_pass(
         device_batch = _to_device(batch, mesh=steps.mesh)
         spec = derive_spec(device_batch, root=root)
 
+        # display_freq <= 0 disables batch-level figures entirely.
         display_step = (
-            display_dir is not None and batch_idx % display_freq == 0
+            display_dir is not None
+            and display_freq > 0
+            and batch_idx % display_freq == 0
         )
         fig_results = None
         if train:

@@ -106,3 +106,11 @@ def test_train_pass_display_figures(tmp_path):
 
     assert os.path.exists(os.path.join(display_dir, "img_000000.png"))
     assert np.isfinite(meters.averages()["total_loss"])
+
+    # --display_freq 0 disables figures (regression: used to divide by 0).
+    off_dir = str(tmp_path / "images_off")
+    state, meters, _ = epoch_pass(
+        loader, net, state, steps, epoch=0, train=True,
+        display_dir=off_dir, display_freq=0,
+    )
+    assert not os.path.exists(os.path.join(off_dir, "img_000000.png"))

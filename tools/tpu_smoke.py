@@ -203,6 +203,36 @@ def main():
     assert do < 2.0, f"bf16 objpoints delta {do} mm"
     print(f"PASS 6: inference (bf16 deltas: verts {dv:.3f} mm, obj {do:.3f} mm)")
 
+    # 7) stem-conv space-to-depth backward vs direct backward, on-chip
+    from obman_train_tpu.ops.stemconv import _conv_direct, stem_conv7x7
+
+    xs = jnp.asarray(rng.normal(0, 1, (32, 256, 256, 3)), jnp.bfloat16)
+    ws = jnp.asarray(rng.normal(0, 0.1, (7, 7, 3, 64)), jnp.bfloat16)
+    cot = jnp.asarray(rng.normal(0, 1, (32, 128, 128, 64)), jnp.bfloat16)
+
+    def g(fn):
+        return jax.jit(
+            jax.grad(
+                lambda x, w: jnp.vdot(
+                    fn(x, w).astype(jnp.float32), cot.astype(jnp.float32)
+                ),
+                argnums=(0, 1),
+            )
+        )(xs, ws)
+
+    gx_d, gw_d = [np.asarray(v, np.float32) for v in g(_conv_direct)]
+    gx_s, gw_s = [np.asarray(v, np.float32) for v in g(stem_conv7x7)]
+    np.testing.assert_allclose(gx_s, gx_d, rtol=2e-2, atol=1e-2)
+    np.testing.assert_allclose(
+        gw_s, gw_d, rtol=2e-2, atol=2e-2 * float(np.abs(gw_d).max())
+    )
+    fwd_delta = float(
+        jnp.max(jnp.abs(stem_conv7x7(xs, ws).astype(jnp.float32)
+                        - _conv_direct(xs, ws).astype(jnp.float32)))
+    )
+    assert fwd_delta == 0.0, f"stem forward not bit-identical: {fwd_delta}"
+    print("PASS 7: stem-conv s2d backward (fwd bit-identical, grads agree)")
+
     print("TPU smoke: ALL PASS")
 
 
