@@ -57,18 +57,32 @@ def main(argv=None):
                         help="render mesh overlays (slow, host-side)")
     parser.add_argument("--attention", action="store_true")
     parser.add_argument("--max_frames", type=int, default=None)
+    parser.add_argument("--image_size", type=int, default=None,
+                        help="model input resolution (default: the "
+                        "experiment's)")
+    parser.add_argument("--show", action="store_true",
+                        help="live cv2 windows (pose estimation / mesh / "
+                        "attention) like the reference webcam demo "
+                        "(webcam_demo.py:100-134); press q to quit. Falls "
+                        "back to disk output when no display is available.")
     args = parser.parse_args(argv)
 
     from obman_train_tpu.demo import DemoModel
 
+    display = _LiveDisplay() if args.show else None
+
+    size_kw = {"image_size": args.image_size} if args.image_size else {}
     if args.resume is None:
         from obman_train_tpu.config import ExperimentConfig
 
         model = DemoModel(
-            config=ExperimentConfig(), mano_assets=args.mano_assets or "synthetic"
+            config=ExperimentConfig(),
+            mano_assets=args.mano_assets or "synthetic", **size_kw,
         )
     else:
-        model = DemoModel(exp_dir=args.resume, mano_assets=args.mano_assets)
+        model = DemoModel(
+            exp_dir=args.resume, mano_assets=args.mano_assets, **size_kw
+        )
 
     os.makedirs(args.out_dir, exist_ok=True)
     names, frames = [], []
@@ -97,6 +111,7 @@ def main(argv=None):
 
             att = model.attention_maps(stack)
         for i, name in enumerate(names):
+            blended = None
             if att is not None:
                 small = preprocess_frame(frames[i], model.image_size)
                 blended = attention_overlay(small, att[i])
@@ -114,8 +129,20 @@ def main(argv=None):
                     else {}
                 ),
             )
-            if args.render:
-                _render(args, model, frames[i], out, i, name)
+            panel = None
+            if args.render or (display is not None and display.active):
+                panel = _render_panel(model, frames[i], out, i)
+                if args.render:
+                    from PIL import Image
+
+                    Image.fromarray(panel).save(
+                        os.path.join(args.out_dir, f"{name}.png")
+                    )
+            if display is not None and display.active:
+                display.update(
+                    frames[i], _frame_joints2d(model, frames[i], out, i),
+                    mesh_rgb=panel, attention_rgb=blended,
+                )
         n_done += len(names)
         names.clear()
         frames.clear()
@@ -127,12 +154,122 @@ def main(argv=None):
             flush()
         if args.max_frames and n_done + len(frames) >= args.max_frames:
             break
+        if display is not None and display.quit:
+            break
     flush()
+    if display is not None:
+        display.close()
     dt = time.perf_counter() - t0
     print(f"Processed {n_done} frames in {dt:.2f}s ({n_done / max(dt, 1e-9):.1f} fps incl. IO)")
 
 
-def _render(args, model, frame, out, i, name):
+class _LiveDisplay:
+    """Live cv2 window loop, mirroring the reference webcam demo's windows
+    ("pose estimation" with the input + 2D joints, "mesh" with the rendered
+    hand/object, "attention hand" — webcam_demo.py:100-134) and its
+    ``waitKey``/q-to-quit protocol.  Construction probes one real window;
+    headless environments or a missing cv2 degrade to ``active = False``
+    and the caller keeps writing artifacts to disk instead."""
+
+    def __init__(self):
+        self.active = False
+        self.quit = False
+        import sys
+        import warnings
+
+        # cv2's GUI backend ABORTS the process (C-level, not a Python
+        # exception) when no display server is reachable — both when
+        # DISPLAY is unset and when it points at a dead server — so
+        # reachability must be established BEFORE any GUI call on Linux.
+        if sys.platform.startswith("linux"):
+            reason = _x11_unreachable_reason()
+            if reason is not None:
+                warnings.warn(
+                    f"--show disabled, writing to disk only: {reason}"
+                )
+                return
+        try:
+            import cv2
+
+            cv2.namedWindow("pose estimation")
+            cv2.waitKey(1)
+        except Exception as e:  # no cv2 / no GUI build
+            warnings.warn(f"--show disabled, writing to disk only: {e}")
+            return
+        self._cv2 = cv2
+        self.active = True
+
+    def update(self, frame_rgb, j2d, mesh_rgb=None, attention_rgb=None):
+        if not self.active:
+            return
+        cv2 = self._cv2
+        img = np.ascontiguousarray(frame_rgb[:, :, ::-1])
+        if j2d is not None:
+            for x, y in np.asarray(j2d):
+                cv2.circle(img, (int(x), int(y)), 3, (0, 255, 0), -1)
+        cv2.imshow("pose estimation", img)
+        if mesh_rgb is not None:
+            cv2.imshow("mesh", mesh_rgb[:, :, ::-1])
+        if attention_rgb is not None:
+            cv2.imshow("attention hand", attention_rgb[:, :, ::-1])
+        if cv2.waitKey(1) & 0xFF == ord("q"):
+            self.quit = True
+
+    def close(self):
+        if self.active:
+            self._cv2.destroyAllWindows()
+
+
+def _x11_unreachable_reason():
+    """None when an X/Wayland server looks reachable, else a reason string.
+
+    A stale ``DISPLAY`` (e.g. left over from a dropped SSH forward) makes
+    cv2 SIGABRT inside ``namedWindow``, which try/except cannot catch, so
+    the server socket is probed directly first.
+    """
+    display = os.environ.get("DISPLAY")
+    wayland = os.environ.get("WAYLAND_DISPLAY")
+    if not display and not wayland:
+        return "no display (DISPLAY/WAYLAND_DISPLAY unset)"
+    if wayland and not display:
+        sock = os.path.join(
+            os.environ.get("XDG_RUNTIME_DIR", "/run/user/0"), wayland
+        )
+        if os.path.exists(sock):
+            return None
+        return f"WAYLAND_DISPLAY={wayland} but {sock} does not exist"
+    # DISPLAY forms: ":0", ":0.0", "host:0", "localhost:10.0"
+    host, _, rest = display.rpartition(":")
+    try:
+        num = int(rest.split(".")[0])
+    except ValueError:
+        return f"unparseable DISPLAY={display!r}"
+    import socket
+
+    if host in ("", "unix"):
+        sock = f"/tmp/.X11-unix/X{num}"
+        if os.path.exists(sock):
+            return None
+        return f"DISPLAY={display} but X socket {sock} does not exist"
+    try:
+        with socket.create_connection((host, 6000 + num), timeout=1.0):
+            return None
+    except OSError as e:
+        return f"DISPLAY={display} unreachable ({e})"
+
+
+def _frame_joints2d(model, frame, out, i):
+    """Predicted 2D joints mapped from crop coordinates to the raw frame."""
+    if "joints2d" not in out:
+        return None
+    scale = min(frame.shape[:2]) / model.image_size
+    off_x = (frame.shape[1] - min(frame.shape[:2])) / 2
+    off_y = (frame.shape[0] - min(frame.shape[:2])) / 2
+    return out["joints2d"][i] * scale + [off_x, off_y]
+
+
+def _render_panel(model, frame, out, i) -> np.ndarray:
+    """Input+joints / 3D-mesh side-by-side panel as an RGB uint8 array."""
     import matplotlib
 
     matplotlib.use("Agg")
@@ -143,14 +280,10 @@ def _render(args, model, frame, out, i, name):
     fig = plt.figure(figsize=(8, 4))
     ax = fig.add_subplot(1, 2, 1)
     ax.imshow(frame)
-    if "joints2d" in out:
+    j2d = _frame_joints2d(model, frame, out, i)
+    if j2d is not None:
         from obman_train_tpu.visualize.viz2d import visualize_joints_2d
 
-        # joints2d are in crop coordinates; scale to the raw frame's square
-        scale = min(frame.shape[:2]) / model.image_size
-        off_x = (frame.shape[1] - min(frame.shape[:2])) / 2
-        off_y = (frame.shape[0] - min(frame.shape[:2])) / 2
-        j2d = out["joints2d"][i] * scale + [off_x, off_y]
         visualize_joints_2d(ax, j2d)
     ax.axis("off")
     ax = fig.add_subplot(1, 2, 2, projection="3d")
@@ -158,8 +291,10 @@ def _render(args, model, frame, out, i, name):
     if "objpoints3d" in out:
         add_mesh(ax, out["objpoints3d"][i], model.obj_faces, c="r")
     ax.axis("off")
-    fig.savefig(os.path.join(args.out_dir, f"{name}.png"), dpi=80)
+    fig.canvas.draw()
+    panel = np.asarray(fig.canvas.buffer_rgba())[:, :, :3].copy()
     plt.close(fig)
+    return panel
 
 
 if __name__ == "__main__":
