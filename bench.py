@@ -101,6 +101,28 @@ def _models():
                 compute_dtype="bfloat16",
             )
         ),
+        # --geometry_dtype rungs on the bf16 step: chamfer/contact
+        # neighbors selected on an f32/bf16 plane, min values recomputed
+        # exactly in f32 (ops/chamfer.py::plane_dtype_for) — the backward
+        # pass never touches the (B, N, M) plane.
+        "contact_bf16_f32sel": make(
+            ModelConfig(
+                atlas=atlas,
+                contact=ContactConfig(contact_lambda=0.167,
+                                      collision_lambda=0.167),
+                compute_dtype="bfloat16",
+                geometry_dtype="float32_select",
+            )
+        ),
+        "contact_bf16_bf16sel": make(
+            ModelConfig(
+                atlas=atlas,
+                contact=ContactConfig(contact_lambda=0.167,
+                                      collision_lambda=0.167),
+                compute_dtype="bfloat16",
+                geometry_dtype="bfloat16",
+            )
+        ),
     }
 
 
@@ -369,6 +391,10 @@ def main():
 
     bench_train("train_step_all_losses", "contact")
     bench_train("train_step_bf16", "contact_bf16")
+    # 5b) --geometry_dtype rungs (selection-plane relaxations with exact
+    # f32 value recompute; parity deltas recorded by tools/geometry_ab.py)
+    bench_train("train_step_bf16_geom_f32sel", "contact_bf16_f32sel")
+    bench_train("train_step_bf16_geom_bf16sel", "contact_bf16_bf16sel")
 
     # 6) large-point-count Chamfer: XLA vs the tiled Pallas kernel.  The
     #    grad path is what training runs (and where the custom VJP's

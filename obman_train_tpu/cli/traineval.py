@@ -117,6 +117,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "update (train_batch must be divisible by it)")
     t.add_argument("--compute_dtype", default="float32",
                    choices=["float32", "bfloat16"])
+    t.add_argument("--geometry_dtype", default="float32",
+                   choices=["float32", "float32_select", "bfloat16"],
+                   help="chamfer/contact selection-plane mode: float32 = "
+                        "parity path; float32_select/bfloat16 select "
+                        "neighbors on an f32/bf16 plane and recompute the "
+                        "min values exactly in f32 from the selected pairs "
+                        "(backward never touches the plane; ops/chamfer.py)")
     t.add_argument("--device_augment", action="store_true",
                    help="apply color jitter in-graph on device (host only "
                         "draws the per-sample factors)")
@@ -190,6 +197,7 @@ def args_to_config(args):
         fc_dropout=args.fc_dropout,
         absolute_lambda=opt(args.absolute_lambda),
         compute_dtype=args.compute_dtype,
+        geometry_dtype=args.geometry_dtype,
         mano=ManoConfig(
             ncomps=args.mano_comps,
             base_neurons=tuple(args.hidden_neurons),

@@ -144,6 +144,13 @@ class ModelConfig(JsonConfigMixin):
     # Device-fused input pipeline
     image_size: int = 256
     compute_dtype: str = "float32"       # or "bfloat16" for the encoder path
+    # Chamfer/contact nearest-neighbor selection-plane mode
+    # (ops/chamfer.py::plane_dtype_for): "float32" = reference parity path
+    # (AD through the plane); "float32_select" = same f32 plane for
+    # SELECTION only, min values recomputed exactly from the selected
+    # pairs (backward never touches the plane); "bfloat16" = one-MXU-pass
+    # bf16 selection plane + exact f32 recompute (near-ties may flip).
+    geometry_dtype: str = "float32"
     # Cross-replica BN-stat sync for *unfrozen* BN. The reference
     # (DataParallel) never syncs BN stats, so default False; True requires
     # running the step under shard_map so the axis name is bound.

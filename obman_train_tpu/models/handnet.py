@@ -33,7 +33,7 @@ from obman_train_tpu.models.branches import AbsoluteBranch, AtlasBranch, ManoBra
 from obman_train_tpu.models.losses import compute_atlas_loss, compute_mano_loss, mse
 from obman_train_tpu.models.mano import ManoParams
 from obman_train_tpu.models.resnet import resnet18, resnet50
-from obman_train_tpu.ops.chamfer import min_sqdist_to
+from obman_train_tpu.ops.chamfer import min_sqdist_to, plane_dtype_for
 from obman_train_tpu.ops.contact import compute_contact_loss
 from obman_train_tpu.ops.mesh import meshiou
 
@@ -273,12 +273,14 @@ class HandNet(nn.Module):
                         contact_target=cfg.contact.contact_target,
                         contact_sym=cfg.contact.contact_sym,
                         contact_zones=cfg.contact.contact_zones,
+                        geometry_dtype=cfg.geometry_dtype,
                     )
                 )
                 if not no_loss:
                     if spec.has_verts3d and spec.has_objpoints3d:
                         dist_h2o_gt = min_sqdist_to(
-                            batch["verts3d"], batch["objpoints3d"]
+                            batch["verts3d"], batch["objpoints3d"],
+                            plane_dtype=plane_dtype_for(cfg.geometry_dtype),
                         )
                         contact_ious, contact_auc = meshiou(
                             dist_h2o_gt, contact_infos["min_dists"]
@@ -311,6 +313,7 @@ class HandNet(nn.Module):
                         else None
                     ),
                     regul_scale=regul_scale,
+                    geometry_dtype=cfg.geometry_dtype,
                 )
                 total_loss = (
                     atlas_total if total_loss is None else total_loss + atlas_total

@@ -16,7 +16,7 @@ from typing import Dict, Optional, Tuple
 import jax.numpy as jnp
 
 from obman_train_tpu.config import AtlasConfig, ManoConfig
-from obman_train_tpu.ops.chamfer import chamfer_loss
+from obman_train_tpu.ops.chamfer import chamfer_loss, plane_dtype_for
 from obman_train_tpu.ops.mesh import edge_loss, laplacian_loss
 
 
@@ -68,6 +68,7 @@ def compute_atlas_loss(
     obj_faces,                      # static (F, 3) int array or None
     laplacian: Optional[jnp.ndarray],  # dense (V, V) or None
     regul_scale=1.0,
+    geometry_dtype: str = "float32",
 ) -> Tuple[jnp.ndarray, Dict]:
     """AtlasLoss.compute_loss equivalent (reference: atlasbranch.py:199-287).
 
@@ -75,7 +76,12 @@ def compute_atlas_loss(
     regularizer weights implementing the reference's per-epoch regul decay
     (decay_regul, handnet.py:188-196) without recompilation: gating stays
     static on the config weights, the decay factor is dynamic.
+
+    ``geometry_dtype`` != float32 selects chamfer neighbors on a
+    low-precision plane and recomputes the min values exactly in f32
+    (the --geometry_dtype rung, ops/chamfer.py).
     """
+    plane_dtype = plane_dtype_for(geometry_dtype)
     edge_regul_lambda = cfg.lambda_regul_edges
     lambda_laplacian = cfg.lambda_laplacian
 
@@ -105,10 +111,12 @@ def compute_atlas_loss(
             )
             scale_loss = mse(preds["objscale"], scales_gt[:, None])
             losses["atlas_scale3d"] = scale_loss
-        l1, l2 = chamfer_loss(preds["objpointscentered3d"], centered)
+        l1, l2 = chamfer_loss(preds["objpointscentered3d"], centered,
+                              plane_dtype=plane_dtype)
         sym_loss = jnp.mean(l1 + l2)
         obj_mesh = preds["objpointscentered3d"]
-        f1, f2 = chamfer_loss(preds["objpoints3d"], target)
+        f1, f2 = chamfer_loss(preds["objpoints3d"], target,
+                              plane_dtype=plane_dtype)
         sym_final = jnp.mean(f1 + f2)
         losses["final_chamfer_loss"] = sym_final
         final = (
@@ -118,7 +126,8 @@ def compute_atlas_loss(
             + cfg.scale_weight * scale_loss
         )
     elif has_objpoints3d and cfg.lambda_atlas:
-        l1, l2 = chamfer_loss(preds["objpoints3d"], batch["objpoints3d"])
+        l1, l2 = chamfer_loss(preds["objpoints3d"], batch["objpoints3d"],
+                              plane_dtype=plane_dtype)
         sym_loss = jnp.mean(l1 + l2)
         final = cfg.lambda_atlas * sym_loss
         obj_mesh = preds["objpoints3d"]

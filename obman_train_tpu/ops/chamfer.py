@@ -39,7 +39,9 @@ def batch_pairwise_sqdist(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     return xx[:, :, None] + yy[:, None, :] - 2.0 * xy
 
 
-def chamfer_min_sqdist(x: jnp.ndarray, y: jnp.ndarray, use_pallas="auto"):
+def chamfer_min_sqdist(
+    x: jnp.ndarray, y: jnp.ndarray, use_pallas="auto", plane_dtype=None
+):
     """Per-point nearest-neighbor squared distances and indices.
 
     Returns ``(min_x2y (B,N), argmin_x2y (B,N), min_y2x (B,M), argmin_y2x)``.
@@ -48,7 +50,15 @@ def chamfer_min_sqdist(x: jnp.ndarray, y: jnp.ndarray, use_pallas="auto"):
     and the XLA path wins; large clouds auto-dispatch to the tiled Pallas
     kernel (O(BN+BM) memory in both the forward and the custom-VJP
     backward).
+
+    ``plane_dtype`` (e.g. ``jnp.bfloat16``) switches to the
+    argmin-gather-recompute path: the (B, N, M) plane is computed in that
+    dtype for NEIGHBOR SELECTION ONLY and the returned min values are
+    re-evaluated exactly in f32 from the selected pairs (see
+    ``_argmin_recompute_min_sqdist``).
     """
+    if plane_dtype is not None:
+        return _argmin_recompute_min_sqdist(x, y, plane_dtype)
     if _use_pallas(x, y, use_pallas):
         return _pallas_min_sqdists_argmin(x, y)
     d = batch_pairwise_sqdist(x, y)
@@ -58,6 +68,41 @@ def chamfer_min_sqdist(x: jnp.ndarray, y: jnp.ndarray, use_pallas="auto"):
         jnp.min(d, axis=1),
         jnp.argmin(d, axis=1),
     )
+
+
+def _argmin_recompute_min_sqdist(x: jnp.ndarray, y: jnp.ndarray, plane_dtype):
+    """Nearest neighbors via a low-precision selection plane + exact values.
+
+    The (B, N, M) plane exists ONLY under ``argmin`` (no gradient), so
+    under AD the whole plane is dead in the backward pass — XLA never
+    re-materializes it — and the actual min values (which carry the loss
+    and its gradient) are recomputed in f32 as ``|x_i - y_{j*}|^2`` from
+    the selected pairs, O(BN + BM).
+
+    Semantics vs the parity path: identical except (a) near-ties may pick
+    a different neighbor when the bf16 plane cannot separate them (the
+    value difference is then below bf16 resolution by construction), and
+    (b) values come from the direct difference form, so they are exact
+    and non-negative where the reference's ``rx + ry - 2xy`` form can go
+    slightly negative from cancellation.  Gradients equal the min
+    subgradient through the selected pair, like the Pallas custom VJP.
+    """
+    xs = jax.lax.stop_gradient(x).astype(plane_dtype)
+    ys = jax.lax.stop_gradient(y).astype(plane_dtype)
+    xx = jnp.sum(xs * xs, axis=-1)
+    yy = jnp.sum(ys * ys, axis=-1)
+    # f32 selection keeps the parity path's HIGHEST-precision matmul so the
+    # selected neighbors match it exactly; bf16 selection is one MXU pass.
+    prec = _HIGHEST if jnp.dtype(plane_dtype) == jnp.float32 else None
+    xy = jnp.einsum("bnd,bmd->bnm", xs, ys, precision=prec)
+    d = xx[:, :, None] + yy[:, None, :] - 2.0 * xy
+    argx = jnp.argmin(d, axis=2)  # (B, N)
+    argy = jnp.argmin(d, axis=1)  # (B, M)
+    y_sel = jnp.take_along_axis(y, argx[..., None], axis=1)  # (B, N, 3)
+    minx = jnp.sum(jnp.square(x - y_sel), axis=-1)
+    x_sel = jnp.take_along_axis(x, argy[..., None], axis=1)  # (B, M, 3)
+    miny = jnp.sum(jnp.square(y - x_sel), axis=-1)
+    return minx, argx, miny, argy
 
 
 # Auto-dispatch rule, measured on v5e (warmed, dependency-chained grad
@@ -75,6 +120,28 @@ def chamfer_min_sqdist(x: jnp.ndarray, y: jnp.ndarray, use_pallas="auto"):
 _PALLAS_MIN_PAIRS_PER_EXAMPLE = 8_000_000
 _PALLAS_MIN_TOTAL_PAIRS = 64_000_000
 _PALLAS_XLA_PLANE_LIMIT_BYTES = 2 << 30
+
+
+def plane_dtype_for(geometry_dtype: str):
+    """Map the ``--geometry_dtype`` config string to a selection-plane
+    dtype (None = the f32 parity path, plane under AD):
+
+    - ``float32``: parity path (reference rx+ry-2xy values, AD through
+      the plane).
+    - ``float32_select``: same f32 HIGHEST-precision plane, but used for
+      neighbor SELECTION only — values are recomputed exactly from the
+      selected pairs, so the backward pass never touches the (B, N, M)
+      plane.  Neighbor choice matches the parity path; values differ
+      only by the direct-difference vs cancellation form (~1e-2 mm^2).
+    - ``bfloat16``: one-MXU-pass bf16 selection plane + exact f32 value
+      recompute.  Near-ties below bf16 resolution may select a different
+      (near-nearest) neighbor; record deltas like hand_object_bf16.
+    """
+    if geometry_dtype == "float32":
+        return None
+    if geometry_dtype == "float32_select":
+        return jnp.float32
+    return jnp.dtype(geometry_dtype)
 
 
 def _use_pallas(x, y, use_pallas) -> bool:
@@ -172,19 +239,23 @@ _pallas_min_sqdists_argmin.defvjp(
 )
 
 
-def min_sqdist_to(x: jnp.ndarray, y: jnp.ndarray, use_pallas="auto"):
+def min_sqdist_to(x: jnp.ndarray, y: jnp.ndarray, use_pallas="auto",
+                  plane_dtype=None):
     """Per-x min squared distance to ``y`` (B, N) — metric-only: inputs are
     stop-gradiented so the cheaper min-only kernel (no argmin epilogue, ~2x
     faster) is used even under AD.  Used for the GT hand-object distances
     feeding meshiou (reference handnet.py:348-362)."""
     x = jax.lax.stop_gradient(x)
     y = jax.lax.stop_gradient(y)
+    if plane_dtype is not None:
+        return _argmin_recompute_min_sqdist(x, y, plane_dtype)[0]
     if _use_pallas(x, y, use_pallas):
         return _pallas_min_sqdists(x, y)[0]
     return jnp.min(batch_pairwise_sqdist(x, y), axis=2)
 
 
-def chamfer_loss(preds: jnp.ndarray, gts: jnp.ndarray, use_pallas="auto"):
+def chamfer_loss(preds: jnp.ndarray, gts: jnp.ndarray, use_pallas="auto",
+                 plane_dtype=None):
     """Reference ChamferLoss.forward semantics (atlasutils.py:11-18).
 
     Args:
@@ -192,11 +263,19 @@ def chamfer_loss(preds: jnp.ndarray, gts: jnp.ndarray, use_pallas="auto"):
       gts:   (B, M, 3) target points.
       use_pallas: True/False/"auto" — "auto" switches to the tiled Pallas
         kernel for large point counts on TPU (no O(N*M) HBM footprint).
+      plane_dtype: optional low-precision selection-plane dtype (the
+        ``--geometry_dtype`` rung): neighbors are selected on a plane of
+        this dtype, values recomputed exactly in f32 from the selection.
     Returns:
       (loss_1, loss_2): per-example means of, respectively, the per-pred
       min squared distance to gts and the per-gt min squared distance to
       preds — both (B,).
     """
+    if plane_dtype is not None:
+        min_gt2pred, _, min_pred2gt, _ = _argmin_recompute_min_sqdist(
+            gts, preds, plane_dtype
+        )
+        return jnp.mean(min_pred2gt, axis=1), jnp.mean(min_gt2pred, axis=1)
     if _use_pallas(gts, preds, use_pallas):
         min_gt2pred, min_pred2gt = _pallas_min_sqdists(gts, preds)
         return jnp.mean(min_pred2gt, axis=1), jnp.mean(min_gt2pred, axis=1)

@@ -86,6 +86,7 @@ def _mode_vals(diff, anchor_dists, mode: str, thresh: float):
         "contact_target",
         "contact_sym",
         "contact_zones",
+        "geometry_dtype",
     ),
 )
 def compute_contact_loss(
@@ -99,6 +100,7 @@ def compute_contact_loss(
     contact_target: str = "all",
     contact_sym: bool = False,
     contact_zones: str = "all",
+    geometry_dtype: str = "float32",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Dict, Dict]:
     """Attraction + repulsion losses between a hand and an object mesh.
 
@@ -113,7 +115,14 @@ def compute_contact_loss(
     # Nearest-neighbor mins/argmins (reference builds the full matrix,
     # contactloss.py:164-166; here XLA fuses the small per-example plane,
     # with Pallas auto-dispatch for large clouds inside chamfer_min_sqdist).
-    mins21, min21idxs, mins12, _ = chamfer_min_sqdist(hand_verts, obj_verts)
+    # geometry_dtype != float32 selects neighbors on a low-precision plane
+    # and recomputes the min values exactly in f32 (--geometry_dtype rung).
+    from obman_train_tpu.ops.chamfer import plane_dtype_for
+
+    plane_dtype = plane_dtype_for(geometry_dtype)
+    mins21, min21idxs, mins12, _ = chamfer_min_sqdist(
+        hand_verts, obj_verts, plane_dtype=plane_dtype
+    )
 
     obj_triangles = obj_verts[:, obj_faces]  # (B, F, 3, 3)
     if jax.default_backend() == "tpu":

@@ -85,3 +85,136 @@ def test_meshiou():
     batch_ious, auc = meshiou(gt, pred)
     assert batch_ious.shape == (10,)
     assert 0.0 <= float(auc) <= 10.0 * 1.0
+
+
+# ---- geometry_dtype selection-plane rungs (ops/chamfer.py) ----
+
+
+def _clouds(rng, b=3, n=778, m=642, scale=60.0):
+    x = jnp.asarray(rng.normal(0, scale, (b, n, 3)), jnp.float32)
+    y = jnp.asarray(rng.normal(0, scale, (b, m, 3)), jnp.float32)
+    return x, y
+
+
+def test_plane_dtype_for_mapping():
+    from obman_train_tpu.ops.chamfer import plane_dtype_for
+
+    assert plane_dtype_for("float32") is None
+    assert plane_dtype_for("float32_select") == jnp.float32
+    assert plane_dtype_for("bfloat16") == jnp.bfloat16
+
+
+def test_float32_select_matches_parity_path(rng):
+    """f32 selection plane picks the same neighbors as the parity path and
+    the recomputed values agree to the cancellation-form error bound."""
+    from obman_train_tpu.ops.chamfer import chamfer_min_sqdist
+
+    x, y = _clouds(rng)
+    base = chamfer_min_sqdist(x, y)
+    sel = chamfer_min_sqdist(x, y, plane_dtype=jnp.float32)
+    assert (np.asarray(base[1]) == np.asarray(sel[1])).mean() > 0.999
+    assert (np.asarray(base[3]) == np.asarray(sel[3])).mean() > 0.999
+    # identical-selection entries carry exact direct-form values; the
+    # rx+ry-2xy parity values differ only by f32 cancellation (~1e-2 mm^2
+    # at 1e4-mm^2 magnitudes)
+    np.testing.assert_allclose(base[0], sel[0], atol=5e-2)
+    np.testing.assert_allclose(base[2], sel[2], atol=5e-2)
+    assert (np.asarray(sel[0]) >= 0).all()  # direct form is non-negative
+
+
+def test_bf16_select_value_error_is_near_tie_bounded(rng):
+    """bf16 selection may flip near-ties; the recomputed value is then the
+    distance to the SELECTED point, so it can only exceed the true min by
+    the plane's resolution at these magnitudes (not by bf16 value error)."""
+    from obman_train_tpu.ops.chamfer import chamfer_min_sqdist
+
+    x, y = _clouds(rng)
+    base = chamfer_min_sqdist(x, y)
+    sel = chamfer_min_sqdist(x, y, plane_dtype=jnp.bfloat16)
+    # values are exact distances, hence always >= the true min (up to the
+    # PARITY path's own f32 rx+ry-2xy cancellation error, ~f32 ulp at the
+    # plane magnitude)
+    assert (np.asarray(sel[0]) >= np.asarray(base[0]) - 0.5).all()
+    # plane resolution: bf16 ulp (2^-8) at the plane's max magnitude —
+    # rx+ry-2xy terms reach rx_max + ry_max for the worst pair
+    mag = float(
+        (np.asarray(x) ** 2).sum(-1).max()
+        + (np.asarray(y) ** 2).sum(-1).max()
+    )
+    tol = 2.0 ** -8 * mag
+    assert float(np.max(np.asarray(sel[0]) - np.asarray(base[0]))) < tol
+    # the overwhelming majority of selections agree outright
+    assert (np.asarray(base[1]) == np.asarray(sel[1])).mean() > 0.8
+
+
+def test_geometry_dtype_grad_flows_and_plane_is_dead(rng):
+    """Gradients flow through the gathered pairs (both args), match the
+    parity path's min subgradient under f32 selection, and the jaxpr of
+    the backward contains no (B, N, M)-sized operation."""
+    import jax
+
+    from obman_train_tpu.ops.chamfer import chamfer_loss
+
+    x, y = _clouds(rng, b=2, n=64, m=48)
+
+    def loss(p, g, dt):
+        l1, l2 = chamfer_loss(p, g, plane_dtype=dt)
+        return jnp.mean(l1 + l2)
+
+    g_base = jax.grad(lambda p, g: jnp.mean(sum(chamfer_loss(p, g))),
+                      argnums=(0, 1))(y, x)
+    g_sel = jax.grad(loss, argnums=(0, 1))(y, x, jnp.float32)
+    for a, b in zip(g_base, g_sel):
+        np.testing.assert_allclose(a, b, atol=1e-4)
+
+    # backward-plane elimination: grad jaxpr has no N*M-shaped eqn outputs
+    jaxpr = jax.make_jaxpr(
+        lambda p, g: jax.grad(loss)(p, g, jnp.bfloat16)
+    )(y, x)
+    n, m = 48, 64  # chamfer_loss(gts=x(64), preds=y(48)) plane is (2,64,48)
+    plane_elems = 2 * n * m
+
+    def _sized(v):
+        try:
+            return int(np.prod(v.aval.shape))
+        except Exception:
+            return 0
+
+    # the fwd plane (selection) is allowed; count plane-sized eqns and
+    # assert there are at most the 1 selection plane + its argmin prep
+    big = [
+        eqn.primitive.name
+        for eqn in jaxpr.jaxpr.eqns
+        for out in eqn.outvars
+        if _sized(out) >= plane_elems
+    ]
+    assert len(big) <= 6, big
+
+
+def test_contact_loss_geometry_dtype_rung(rng):
+    """compute_contact_loss under geometry_dtype rungs: f32_select matches
+    the parity path; bf16 deltas stay within the recorded envelope."""
+    from obman_train_tpu.assets import icosphere as ico
+
+    from obman_train_tpu.ops.contact import compute_contact_loss
+
+    verts, faces = ico(2)
+    b = 2
+    hand = jnp.asarray(rng.normal(0, 30, (b, 778, 3)), jnp.float32)
+    obj = jnp.asarray(
+        40.0 * np.asarray(verts)[None] + rng.normal(0, 1, (b, 1, 3)),
+        jnp.float32,
+    )
+    outs = {}
+    for gd in ("float32", "float32_select", "bfloat16"):
+        attr, pen, info, met = compute_contact_loss(
+            hand, obj, jnp.asarray(faces),
+            contact_mode="dist_tanh", collision_mode="dist_tanh",
+            contact_zones="zones", geometry_dtype=gd,
+        )
+        outs[gd] = (float(attr), float(pen))
+    a0, p0 = outs["float32"]
+    np.testing.assert_allclose(outs["float32_select"], (a0, p0), rtol=1e-5,
+                               atol=1e-5)
+    np.testing.assert_allclose(outs["bfloat16"], (a0, p0), rtol=0.05,
+                               atol=0.05)

@@ -200,3 +200,46 @@ def test_grad_accum_with_device_augment(net, rng):
     new_state, losses = step(state, batch, jax.random.PRNGKey(0))
     assert np.isfinite(float(losses["total_loss"]))
     assert int(new_state.step) == 1
+
+
+def test_geometry_dtype_rungs_train_step(rng):
+    """Full train step under each --geometry_dtype rung: compiles, losses
+    stay finite over several steps and the first-step losses match the
+    parity path (f32_select ~exact; bf16 selection within a few percent)."""
+    from obman_train_tpu.config import AtlasConfig, ContactConfig
+
+    batch = make_batch(rng, B=4)
+    spec = BatchSpec()
+    tcfg = TrainConfig(lr=1e-3, lr_decay_gamma=1.0)
+    tx = make_optimizer(tcfg)
+    key = jax.random.PRNGKey(0)
+
+    outs = {}
+    for gd in ("float32", "float32_select", "bfloat16"):
+        net_gd = build_handnet(
+            ModelConfig(
+                atlas=AtlasConfig(predict_trans=True, predict_scale=True),
+                contact=ContactConfig(
+                    contact_lambda=0.167, collision_lambda=0.167
+                ),
+                geometry_dtype=gd,
+            ),
+            mano_params_from_assets(synthetic_mano_assets("right")),
+            mano_params_from_assets(synthetic_mano_assets("left")),
+        )
+        state = create_train_state(net_gd, tx, batch, spec)
+        step = make_train_step(net_gd, tx, spec, donate=False)
+        _, losses0 = step(state, batch, key)
+        for _ in range(10):
+            state, losses = step(state, batch, key)
+        outs[gd] = (
+            {k: float(v) for k, v in losses0.items()
+             if v is not None and np.ndim(v) == 0},
+            float(losses["total_loss"]),
+        )
+        assert np.isfinite(outs[gd][1])
+
+    base0 = outs["float32"][0]
+    for gd, rtol in (("float32_select", 1e-4), ("bfloat16", 0.05)):
+        for k, v in outs[gd][0].items():
+            assert v == pytest.approx(base0[k], rel=rtol, abs=rtol), (gd, k)
