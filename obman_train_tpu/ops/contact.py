@@ -26,7 +26,11 @@ import jax
 import jax.numpy as jnp
 
 from obman_train_tpu.assets.contact_zones import tips_mask, zone_masks
-from obman_train_tpu.ops.chamfer import batch_pairwise_sqdist, chamfer_min_sqdist
+from obman_train_tpu.ops.chamfer import (
+    batch_pairwise_sqdist,
+    chamfer_min_sqdist,
+    plane_dtype_for,
+)
 from obman_train_tpu.ops.inside import batch_mesh_contains_points
 
 
@@ -117,8 +121,6 @@ def compute_contact_loss(
     # with Pallas auto-dispatch for large clouds inside chamfer_min_sqdist).
     # geometry_dtype != float32 selects neighbors on a low-precision plane
     # and recomputes the min values exactly in f32 (--geometry_dtype rung).
-    from obman_train_tpu.ops.chamfer import plane_dtype_for
-
     plane_dtype = plane_dtype_for(geometry_dtype)
     mins21, min21idxs, mins12, _ = chamfer_min_sqdist(
         hand_verts, obj_verts, plane_dtype=plane_dtype

@@ -21,6 +21,10 @@ Checks (each prints PASS):
   5. One full train step (all losses incl. contact): finite losses.
   6. Headline inference: finite verts/joints/objpoints, f32 vs bf16
      encoder delta within documented bounds (<0.1 mm verts, <2 mm obj).
+  7. Stem-conv space-to-depth backward vs direct backward (fwd
+     bit-identical, grads agree).
+  8. geometry_dtype selection-plane rungs: f32_select neighbor parity,
+     bf16 near-tie excess bound, contact-loss agreement per rung.
 """
 
 from __future__ import annotations
@@ -232,6 +236,59 @@ def main():
     )
     assert fwd_delta == 0.0, f"stem forward not bit-identical: {fwd_delta}"
     print("PASS 7: stem-conv s2d backward (fwd bit-identical, grads agree)")
+
+    # 8) geometry_dtype selection-plane rungs on the real MXU: f32 select
+    # matches the parity path's neighbors; bf16 select flips only
+    # near-ties (value excess bounded by the plane's resolution at the
+    # rx+ry-2xy magnitude); contact loss agrees per rung.
+    from obman_train_tpu.ops.chamfer import chamfer_min_sqdist
+    from obman_train_tpu.ops.contact import compute_contact_loss
+
+    xg = jnp.asarray(rng.normal(0, 60, (4, 778, 3)), jnp.float32)
+    yg = jnp.asarray(rng.normal(0, 60, (4, 642, 3)), jnp.float32)
+    base = [np.asarray(v) for v in chamfer_min_sqdist(xg, yg)]
+    sel32 = [
+        np.asarray(v)
+        for v in chamfer_min_sqdist(xg, yg, plane_dtype=jnp.float32)
+    ]
+    agree32 = float((base[1] == sel32[1]).mean())
+    assert agree32 > 0.999, f"f32_select argmin agreement {agree32}"
+    np.testing.assert_allclose(base[0], sel32[0], atol=5e-2)
+    sel16 = [
+        np.asarray(v)
+        for v in chamfer_min_sqdist(xg, yg, plane_dtype=jnp.bfloat16)
+    ]
+    mag = float(
+        (np.asarray(xg) ** 2).sum(-1).max()
+        + (np.asarray(yg) ** 2).sum(-1).max()
+    )
+    excess = float(np.max(sel16[0] - base[0]))
+    assert excess < 2.0 ** -8 * mag, f"bf16 select excess {excess}"
+    agree16 = float((base[1] == sel16[1]).mean())
+    verts50, faces_ico = icosphere(2)
+    hand = jnp.asarray(rng.normal(0, 30, (2, 778, 3)), jnp.float32)
+    obj = jnp.asarray(
+        40.0 * np.asarray(verts50)[None] + rng.normal(0, 1, (2, 1, 3)),
+        jnp.float32,
+    )
+    cvals = {}
+    for gd in ("float32", "float32_select", "bfloat16"):
+        attr, pen, _, _ = compute_contact_loss(
+            hand, obj, jnp.asarray(faces_ico),
+            contact_mode="dist_tanh", collision_mode="dist_tanh",
+            contact_zones="zones", geometry_dtype=gd,
+        )
+        cvals[gd] = (float(attr), float(pen))
+    a0, p0 = cvals["float32"]
+    assert abs(cvals["float32_select"][0] - a0) <= 1e-4 + 1e-4 * abs(a0)
+    assert abs(cvals["float32_select"][1] - p0) <= 1e-4 + 1e-4 * abs(p0)
+    assert abs(cvals["bfloat16"][0] - a0) <= 0.05 + 0.05 * abs(a0)
+    assert abs(cvals["bfloat16"][1] - p0) <= 0.05 + 0.05 * abs(p0)
+    print(
+        f"PASS 8: geometry_dtype rungs (f32sel agree {agree32:.4f}, "
+        f"bf16sel agree {agree16:.3f}, excess {excess:.2f} < "
+        f"{2.0 ** -8 * mag:.2f})"
+    )
 
     print("TPU smoke: ALL PASS")
 
