@@ -123,7 +123,86 @@ def _models():
                 geometry_dtype="bfloat16",
             )
         ),
+        # f32 compute + f32 selection plane (tools/geometry_ab.py arm)
+        "contact_f32sel": make(
+            ModelConfig(
+                atlas=atlas,
+                contact=ContactConfig(contact_lambda=0.167,
+                                      collision_lambda=0.167),
+                geometry_dtype="float32_select",
+            )
+        ),
     }
+
+
+# ---------------------------------------------------------------------------
+# Shared harness pieces: bench.py and every tools/ A-B harness must measure
+# the SAME workload with the SAME chained-window protocol (CLAUDE.md tunnel
+# timing rules), so these live here and the tools import them.
+# ---------------------------------------------------------------------------
+
+
+def make_synthetic_gt(B: int, S: int, seed: int = 0):
+    """Canonical synthetic all-losses batch at the bench shapes: uint8-
+    derived images (the real data distribution after device normalize)
+    plus MANO/atlas/contact GT at the reference sizes (21 joints, 778
+    hand verts, 600 object points — SURVEY.md §6)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    return {
+        "images": jnp.asarray(
+            rng.integers(0, 256, (B, S, S, 3)), jnp.float32
+        ) / 255.0 - 0.5,
+        "sides": jnp.asarray(rng.integers(0, 2, (B,)), jnp.int32),
+        "joints3d": jnp.asarray(rng.normal(0, 30, (B, 21, 3)), jnp.float32),
+        "verts3d": jnp.asarray(rng.normal(0, 30, (B, 778, 3)), jnp.float32),
+        "objpoints3d": jnp.asarray(
+            rng.normal(0, 50, (B, 600, 3)), jnp.float32
+        ),
+    }
+
+
+def build_train(net, gt, donate: bool = True):
+    """TrainState + jitted all-losses train step + PRNG key."""
+    import jax
+
+    from obman_train_tpu.config import TrainConfig
+    from obman_train_tpu.models import BatchSpec
+    from obman_train_tpu.train import (
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    spec = BatchSpec()
+    tx = make_optimizer(TrainConfig())
+    state = create_train_state(net, tx, gt, spec)
+    step = make_train_step(net, tx, spec, donate=donate)
+    return step, state, jax.random.PRNGKey(0)
+
+
+def train_window(step, state, gt, key, iters: int):
+    """One dependency-chained window: every step's total_loss feeds a
+    scalar accumulator that is read on the host at the end, so the wall
+    clock is honest on the tunneled TPU (block_until_ready can return
+    early there)."""
+    acc = None
+    for _ in range(iters):
+        state, losses = step(state, gt, key)
+        tl = losses["total_loss"]
+        acc = tl if acc is None else acc + tl
+    float(acc)
+    return state
+
+
+def time_train_step(step, state, gt, key, iters: int = BENCH_ITERS):
+    """Warm a FULL chained window (fresh executables run slow for ~30
+    calls on the tunnel), then time one; returns (sec/step, state)."""
+    state = train_window(step, state, gt, key, iters)
+    t0 = time.perf_counter()
+    state = train_window(step, state, gt, key, iters)
+    return (time.perf_counter() - t0) / iters, state
 
 
 def _timeit(fn, args, iters=BENCH_ITERS):
@@ -295,13 +374,7 @@ def main():
 
     # 3) contact-aware: losses live (attraction/repulsion + pairwise)
     net = nets["contact"]
-    gt = {
-        "images": jnp.zeros((B, S, S, 3), jnp.float32),
-        "sides": sides,
-        "joints3d": jnp.asarray(rng.normal(0, 30, (B, 21, 3)), jnp.float32),
-        "verts3d": jnp.asarray(rng.normal(0, 30, (B, 778, 3)), jnp.float32),
-        "objpoints3d": jnp.asarray(rng.normal(0, 50, (B, 600, 3)), jnp.float32),
-    }
+    gt = make_synthetic_gt(B, S)
     spec = BatchSpec()
     variables = init_vars(net, gt, spec)
 
@@ -356,34 +429,9 @@ def main():
 
     # 5) full train step — donated + chained (steady-state loop timing)
     def bench_train(name, net_key):
-        net = nets[net_key]
-        tcfg = TrainConfig()
-        tx = make_optimizer(tcfg)
-        state = create_train_state(net, tx, gt, spec)
-        step = make_train_step(net, tx, spec, donate=True)
-        key = jax.random.PRNGKey(0)
+        step, state, key = build_train(nets[net_key], gt)
         flops = _flops_of(step, (state, gt, key))
-        # warmup: compile + a full chained window (see _timeit)
-        acc = None
-        for _ in range(BENCH_ITERS):
-            state, losses = step(state, gt, key)
-            acc = (
-                losses["total_loss"]
-                if acc is None
-                else acc + losses["total_loss"]
-            )
-        float(acc)
-        t0 = time.perf_counter()
-        acc = None
-        for _ in range(BENCH_ITERS):
-            state, losses = step(state, gt, key)
-            acc = (
-                losses["total_loss"]
-                if acc is None
-                else acc + losses["total_loss"]
-            )
-        float(acc)  # host sync through the chained losses
-        dt = (time.perf_counter() - t0) / BENCH_ITERS
+        dt, _ = time_train_step(step, state, gt, key)
         entry = {"samples_per_sec": B / dt, "batch": B}
         if flops and peak:
             entry["mfu_pct"] = round(100.0 * flops / dt / peak, 2)

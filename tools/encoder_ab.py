@@ -2,7 +2,8 @@
 
 Compiles the contact train step once per arm (monkeypatching the
 applicability gates at trace time), then times all arms in alternating
-windows so tunnel drift cancels.  Arms:
+windows so tunnel drift cancels.  The model, synthetic batch, and
+chained-window protocol come from bench.py's shared harness.  Arms:
 
   base      direct conv backward + select_and_scatter maxpool backward
   pool      + elementwise maxpool backward (ops/maxpool.py)
@@ -10,6 +11,8 @@ windows so tunnel drift cancels.  Arms:
   both      both custom backwards
 
     python tools/encoder_ab.py
+    OBMAN_AB_CPU=1 OBMAN_AB_BATCH=4 OBMAN_AB_SIZE=64 \
+        python tools/encoder_ab.py         # CPU smoke
 """
 
 from __future__ import annotations
@@ -17,8 +20,6 @@ from __future__ import annotations
 import os
 import sys
 import time
-
-import numpy as np
 
 sys.path.insert(
     0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -30,54 +31,20 @@ os.environ["OBMAN_POOL_EWBWD"] = "1"
 
 def main():
     import jax
-    import jax.numpy as jnp
+
+    if os.environ.get("OBMAN_AB_CPU"):
+        jax.config.update("jax_platforms", "cpu")
+
+    import bench
 
     import obman_train_tpu.models.resnet as resnet_mod
-    from obman_train_tpu.assets import synthetic_mano_assets
-    from obman_train_tpu.config import (
-        AtlasConfig,
-        ContactConfig,
-        ModelConfig,
-        TrainConfig,
-    )
-    from obman_train_tpu.models import (
-        BatchSpec,
-        build_handnet,
-        mano_params_from_assets,
-    )
-    from obman_train_tpu.train import (
-        create_train_state,
-        make_optimizer,
-        make_train_step,
-    )
 
-    B, S = 256, 256
+    B = int(os.environ.get("OBMAN_AB_BATCH", 256))
+    S = int(os.environ.get("OBMAN_AB_SIZE", 256))
     iters = int(os.environ.get("OBMAN_BENCH_ITERS", 20))
-    rng = np.random.default_rng(0)
 
-    mano_r = mano_params_from_assets(synthetic_mano_assets("right"))
-    mano_l = mano_params_from_assets(synthetic_mano_assets("left"))
-    gt = {
-        "images": jnp.asarray(rng.normal(0, 0.3, (B, S, S, 3)), jnp.float32),
-        "sides": jnp.asarray(rng.integers(0, 2, (B,)), jnp.int32),
-        "joints3d": jnp.asarray(rng.normal(0, 30, (B, 21, 3)), jnp.float32),
-        "verts3d": jnp.asarray(rng.normal(0, 30, (B, 778, 3)), jnp.float32),
-        "objpoints3d": jnp.asarray(
-            rng.normal(0, 50, (B, 600, 3)), jnp.float32
-        ),
-    }
-    spec = BatchSpec()
-
-    net = build_handnet(
-        ModelConfig(
-            atlas=AtlasConfig(predict_trans=True, predict_scale=True),
-            contact=ContactConfig(contact_lambda=0.167, collision_lambda=0.167),
-            compute_dtype="bfloat16",
-        ),
-        mano_r,
-        mano_l,
-    )
-    tx = make_optimizer(TrainConfig())
+    gt = bench.make_synthetic_gt(B, S)
+    net = bench._models()["contact_bf16"]
 
     stem_gate = resnet_mod.stem_conv_applicable
     pool_gate = resnet_mod.maxpool_3x3s2_applicable
@@ -87,9 +54,7 @@ def main():
         resnet_mod.stem_conv_applicable = stem_gate if stem else off
         resnet_mod.maxpool_3x3s2_applicable = pool_gate if pool else off
         try:
-            state = create_train_state(net, tx, gt, spec)
-            step = make_train_step(net, tx, spec, donate=False)
-            key = jax.random.PRNGKey(0)
+            step, state, key = bench.build_train(net, gt, donate=False)
             state, losses = step(state, gt, key)  # compile under the patch
             float(losses["total_loss"])
             return [step, state, key]
@@ -105,16 +70,7 @@ def main():
     }
 
     def window(arm):
-        step, state, key = arm
-        acc = None
-        for _ in range(iters):
-            state, losses = step(state, gt, key)
-            acc = (
-                losses["total_loss"] if acc is None
-                else acc + losses["total_loss"]
-            )
-        float(acc)
-        arm[1] = state
+        arm[1] = bench.train_window(arm[0], arm[1], gt, arm[2], iters)
 
     for arm in arms.values():  # warm full windows
         window(arm)

@@ -1,7 +1,9 @@
 """In-context A/B of geometry selection-plane rungs inside the full
 contact train step (all losses, Adam), following tools/encoder_ab.py's
 protocol: one executable per arm, warmed full windows, alternating timing
-windows so tunnel drift cancels.
+windows so tunnel drift cancels.  Models, the synthetic batch, and the
+chained-window timing come from bench.py's shared harness so every
+harness measures the SAME workload.
 
 Arms (x compute_dtype in {bfloat16, float32}):
 
@@ -33,64 +35,21 @@ sys.path.insert(
 
 def main():
     import jax
-    import jax.numpy as jnp
 
     if os.environ.get("OBMAN_AB_CPU"):
         jax.config.update("jax_platforms", "cpu")
 
-    from obman_train_tpu.assets import synthetic_mano_assets
-    from obman_train_tpu.config import (
-        AtlasConfig,
-        ContactConfig,
-        ModelConfig,
-        TrainConfig,
-    )
-    from obman_train_tpu.models import (
-        BatchSpec,
-        build_handnet,
-        mano_params_from_assets,
-    )
-    from obman_train_tpu.train import (
-        create_train_state,
-        make_optimizer,
-        make_train_step,
-    )
+    import bench
 
     B = int(os.environ.get("OBMAN_AB_BATCH", 256))
     S = int(os.environ.get("OBMAN_AB_SIZE", 256))
     iters = int(os.environ.get("OBMAN_BENCH_ITERS", 20))
-    rng = np.random.default_rng(0)
 
-    mano_r = mano_params_from_assets(synthetic_mano_assets("right"))
-    mano_l = mano_params_from_assets(synthetic_mano_assets("left"))
-    gt = {
-        "images": jnp.asarray(rng.normal(0, 0.3, (B, S, S, 3)), jnp.float32),
-        "sides": jnp.asarray(rng.integers(0, 2, (B,)), jnp.int32),
-        "joints3d": jnp.asarray(rng.normal(0, 30, (B, 21, 3)), jnp.float32),
-        "verts3d": jnp.asarray(rng.normal(0, 30, (B, 778, 3)), jnp.float32),
-        "objpoints3d": jnp.asarray(
-            rng.normal(0, 50, (B, 600, 3)), jnp.float32
-        ),
-    }
-    spec = BatchSpec()
-    tx = make_optimizer(TrainConfig())
+    gt = bench.make_synthetic_gt(B, S)
+    nets = bench._models()
 
-    def build(compute_dtype, geometry_dtype):
-        net = build_handnet(
-            ModelConfig(
-                atlas=AtlasConfig(predict_trans=True, predict_scale=True),
-                contact=ContactConfig(
-                    contact_lambda=0.167, collision_lambda=0.167
-                ),
-                compute_dtype=compute_dtype,
-                geometry_dtype=geometry_dtype,
-            ),
-            mano_r,
-            mano_l,
-        )
-        state = create_train_state(net, tx, gt, spec)
-        step = make_train_step(net, tx, spec, donate=False)
-        key = jax.random.PRNGKey(0)
+    def build(net_key):
+        step, state, key = bench.build_train(nets[net_key], gt, donate=False)
         _, losses = step(state, gt, key)  # compile; do NOT advance state
         first_losses = {
             k: float(v)
@@ -101,28 +60,21 @@ def main():
                 "first_losses": first_losses}
 
     arm_specs = [
-        ("bf16/f32", "bfloat16", "float32"),
-        ("bf16/f32sel", "bfloat16", "float32_select"),
-        ("bf16/bf16sel", "bfloat16", "bfloat16"),
-        ("f32/f32", "float32", "float32"),
-        ("f32/f32sel", "float32", "float32_select"),
+        ("bf16/f32", "contact_bf16"),
+        ("bf16/f32sel", "contact_bf16_f32sel"),
+        ("bf16/bf16sel", "contact_bf16_bf16sel"),
+        ("f32/f32", "contact"),
+        ("f32/f32sel", "contact_f32sel"),
     ]
     arms = {}
-    for name, cd, gd in arm_specs:
+    for name, net_key in arm_specs:
         print(f"compiling {name} ...", flush=True)
-        arms[name] = build(cd, gd)
+        arms[name] = build(net_key)
 
     def window(arm):
-        step, state, key = arm["step"], arm["state"], arm["key"]
-        acc = None
-        for _ in range(iters):
-            state, losses = step(state, gt, key)
-            acc = (
-                losses["total_loss"] if acc is None
-                else acc + losses["total_loss"]
-            )
-        float(acc)
-        arm["state"] = state
+        arm["state"] = bench.train_window(
+            arm["step"], arm["state"], gt, arm["key"], iters
+        )
 
     for name, arm in arms.items():  # warm full windows
         print(f"warming {name} ...", flush=True)

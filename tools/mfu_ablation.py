@@ -21,7 +21,6 @@ import argparse
 import json
 import os
 import sys
-import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -47,56 +46,20 @@ def main():
     sys.path.insert(0, REPO)
     import bench
 
-    from obman_train_tpu.config import TrainConfig
-    from obman_train_tpu.models import BatchSpec
     from obman_train_tpu.ops.contact import compute_contact_loss
-    from obman_train_tpu.train import (
-        create_train_state,
-        make_optimizer,
-        make_train_step,
-    )
 
     B, S, iters = args.batch, args.size, args.iters
     peak = bench._peak_flops(jax.devices()[0])
     nets = bench._models()
     rng = np.random.default_rng(0)
-    gt = {
-        "images": jnp.asarray(
-            rng.integers(0, 256, (B, S, S, 3)), jnp.float32
-        ) / 255.0 - 0.5,
-        "sides": jnp.asarray(rng.integers(0, 2, (B,)), jnp.int32),
-        "joints3d": jnp.asarray(rng.normal(0, 30, (B, 21, 3)), jnp.float32),
-        "verts3d": jnp.asarray(rng.normal(0, 30, (B, 778, 3)), jnp.float32),
-        "objpoints3d": jnp.asarray(rng.normal(0, 50, (B, 600, 3)), jnp.float32),
-    }
-    spec = BatchSpec()
+    gt = bench.make_synthetic_gt(B, S)
     results = {"batch": B, "size": S, "iters": iters}
-
-    def chained_time(step, state, key):
-        acc = None
-        for _ in range(iters):  # warm window (fresh executables run slow)
-            state, losses = step(state, gt, key)
-            tl = losses["total_loss"]
-            acc = tl if acc is None else acc + tl
-        float(acc)
-        t0 = time.perf_counter()
-        acc = None
-        for _ in range(iters):
-            state, losses = step(state, gt, key)
-            tl = losses["total_loss"]
-            acc = tl if acc is None else acc + tl
-        float(acc)
-        return (time.perf_counter() - t0) / iters, state
 
     prev_ms = None
     for name in ("hands_only", "hand_object", "contact", "contact_bf16"):
-        net = nets[name]
-        tx = make_optimizer(TrainConfig())
-        state = create_train_state(net, tx, gt, spec)
-        step = make_train_step(net, tx, spec, donate=True)
-        key = jax.random.PRNGKey(0)
+        step, state, key = bench.build_train(nets[name], gt)
         flops = bench._flops_of(step, (state, gt, key))
-        dt, state = chained_time(step, state, key)
+        dt, state = bench.time_train_step(step, state, gt, key, iters)
         entry = {
             "samples_per_sec": B / dt,
             "step_ms": dt * 1e3,
@@ -135,11 +98,7 @@ def main():
         print(label, results[label], flush=True)
 
     if args.profile_dir:
-        net = nets["contact"]
-        tx = make_optimizer(TrainConfig())
-        state = create_train_state(net, tx, gt, spec)
-        step = make_train_step(net, tx, spec, donate=True)
-        key = jax.random.PRNGKey(0)
+        step, state, key = bench.build_train(nets["contact"], gt)
         for _ in range(5):
             state, losses = step(state, gt, key)
         float(losses["total_loss"])
