@@ -55,12 +55,16 @@ def chamfer_min_sqdist(
     argmin-gather-recompute path: the (B, N, M) plane is computed in that
     dtype for NEIGHBOR SELECTION ONLY and the returned min values are
     re-evaluated exactly in f32 from the selected pairs (see
-    ``_argmin_recompute_min_sqdist``).
+    ``_argmin_recompute_min_sqdist``).  The Pallas dispatch takes
+    precedence: at sizes where the plane must not be materialized (the
+    HBM guard / measured crossover in ``_use_pallas``), the tiled kernel
+    runs instead regardless of ``plane_dtype`` — it already avoids the
+    plane and recomputes exact f32 values, which is the rung's goal.
     """
-    if plane_dtype is not None:
-        return _argmin_recompute_min_sqdist(x, y, plane_dtype)
     if _use_pallas(x, y, use_pallas):
         return _pallas_min_sqdists_argmin(x, y)
+    if plane_dtype is not None:
+        return _argmin_recompute_min_sqdist(x, y, plane_dtype)
     d = batch_pairwise_sqdist(x, y)
     return (
         jnp.min(d, axis=2),
@@ -247,10 +251,10 @@ def min_sqdist_to(x: jnp.ndarray, y: jnp.ndarray, use_pallas="auto",
     feeding meshiou (reference handnet.py:348-362)."""
     x = jax.lax.stop_gradient(x)
     y = jax.lax.stop_gradient(y)
-    if plane_dtype is not None:
-        return _argmin_recompute_min_sqdist(x, y, plane_dtype)[0]
     if _use_pallas(x, y, use_pallas):
         return _pallas_min_sqdists(x, y)[0]
+    if plane_dtype is not None:
+        return _argmin_recompute_min_sqdist(x, y, plane_dtype)[0]
     return jnp.min(batch_pairwise_sqdist(x, y), axis=2)
 
 
@@ -266,18 +270,21 @@ def chamfer_loss(preds: jnp.ndarray, gts: jnp.ndarray, use_pallas="auto",
       plane_dtype: optional low-precision selection-plane dtype (the
         ``--geometry_dtype`` rung): neighbors are selected on a plane of
         this dtype, values recomputed exactly in f32 from the selection.
+        Ignored when the Pallas dispatch fires (large clouds / HBM
+        guard): the kernel never materializes the plane, which is what
+        the rung buys at small sizes.
     Returns:
       (loss_1, loss_2): per-example means of, respectively, the per-pred
       min squared distance to gts and the per-gt min squared distance to
       preds — both (B,).
     """
+    if _use_pallas(gts, preds, use_pallas):
+        min_gt2pred, min_pred2gt = _pallas_min_sqdists(gts, preds)
+        return jnp.mean(min_pred2gt, axis=1), jnp.mean(min_gt2pred, axis=1)
     if plane_dtype is not None:
         min_gt2pred, _, min_pred2gt, _ = _argmin_recompute_min_sqdist(
             gts, preds, plane_dtype
         )
-        return jnp.mean(min_pred2gt, axis=1), jnp.mean(min_gt2pred, axis=1)
-    if _use_pallas(gts, preds, use_pallas):
-        min_gt2pred, min_pred2gt = _pallas_min_sqdists(gts, preds)
         return jnp.mean(min_pred2gt, axis=1), jnp.mean(min_gt2pred, axis=1)
     d = batch_pairwise_sqdist(gts, preds)  # (B, M, N): P[b, i, j] = |gt_i - pred_j|^2
     loss_1 = jnp.mean(jnp.min(d, axis=1), axis=1)  # per-pred mins

@@ -147,6 +147,36 @@ def test_bf16_select_value_error_is_near_tie_bounded(rng):
     assert (np.asarray(base[1]) == np.asarray(sel[1])).mean() > 0.8
 
 
+def test_plane_dtype_yields_to_pallas_dispatch(rng, monkeypatch):
+    """At sizes where the Pallas dispatch fires (HBM guard / crossover),
+    the selection-plane rung must NOT force plane materialization: the
+    tiled kernel takes precedence for chamfer_min_sqdist, chamfer_loss
+    and min_sqdist_to alike."""
+    from obman_train_tpu.ops import chamfer as C
+
+    hits = []
+
+    def fake_argmin(x, y):
+        hits.append("argmin")
+        d = C.batch_pairwise_sqdist(x, y)
+        return (
+            jnp.min(d, 2), jnp.argmin(d, 2), jnp.min(d, 1), jnp.argmin(d, 1)
+        )
+
+    def fake_min(x, y):
+        hits.append("min")
+        d = C.batch_pairwise_sqdist(x, y)
+        return jnp.min(d, 2), jnp.min(d, 1)
+
+    monkeypatch.setattr(C, "_pallas_min_sqdists_argmin", fake_argmin)
+    monkeypatch.setattr(C, "_pallas_min_sqdists", fake_min)
+    x, y = _clouds(rng)
+    C.chamfer_min_sqdist(x, y, use_pallas=True, plane_dtype=jnp.bfloat16)
+    C.chamfer_loss(x, y, use_pallas=True, plane_dtype=jnp.bfloat16)
+    C.min_sqdist_to(x, y, use_pallas=True, plane_dtype=jnp.bfloat16)
+    assert hits == ["argmin", "min", "min"]
+
+
 def test_geometry_dtype_grad_flows_and_plane_is_dead(rng):
     """Gradients flow through the gathered pairs (both args), match the
     parity path's min subgradient under f32 selection, and the jaxpr of
