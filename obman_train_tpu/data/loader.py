@@ -61,7 +61,11 @@ def to_model_batch(batch: Dict) -> Dict[str, np.ndarray]:
                 out[name] = val.astype(np.float32, copy=False)
     if "aug_factors" in batch:
         out["aug_factors"] = np.asarray(batch["aug_factors"], np.float32)
-        # per-batch op order (the in-graph jitter uses one order per batch)
+        # Per-batch op order (the in-graph jitter uses one order per batch).
+        # Sample 0's draw is only a fallback for standalone use: BatchLoader
+        # overrides it with a (seed, epoch, batch_idx)-derived value so the
+        # order is identical across --distributed ranks, whose local slices
+        # start at different global rows (see BatchLoader._finalize).
         out["aug_order"] = np.asarray(batch["aug_order"][0], np.int32)
     if BaseQueries.sides in batch:
         out["sides"] = np.asarray(
@@ -227,6 +231,28 @@ class BatchLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
+    def _finalize(self, batch: Dict, epoch: int, batch_idx: int) -> Dict:
+        """Post-load fixup of per-batch (not per-sample) leaves.
+
+        ``aug_order`` must be one value per GLOBAL batch: deriving it from
+        the first loaded sample would give each --distributed rank a
+        different order (rank r's slice starts at global row r*B/P), which
+        both diverges the training stream from the single-process run and
+        violates the replicated-sharding equal-data invariant in
+        parallel.shard_batch.  Derive it from (seed, epoch, batch_idx)
+        instead — identical on every rank and for every process count.
+        Raw (``model_batch=False``) batches keep their per-sample draws."""
+        if self.model_batch and "aug_order" in batch:
+            # 0-d ndarray, NOT a numpy scalar: the device-put path keeps
+            # only isinstance(np.ndarray) leaves (it drops string metadata)
+            batch["aug_order"] = np.asarray(
+                np.random.default_rng(
+                    (self.seed, epoch, batch_idx)
+                ).integers(0, 24),
+                np.int32,
+            )
+        return batch
+
     def __iter__(self) -> Iterator[Dict]:
         rng = np.random.default_rng(self.seed + self._epoch)
         self._epoch += 1
@@ -261,8 +287,12 @@ class BatchLoader:
             window = self.num_workers * 2
             futures = deque(submit(b) for b in batches[:window])
             next_submit = min(window, n_batches)
+            yielded = 0
             while futures:
-                yield futures.popleft().result()
+                yield self._finalize(
+                    futures.popleft().result(), self._epoch, yielded
+                )
+                yielded += 1
                 if next_submit < n_batches:
                     futures.append(submit(batches[next_submit]))
                     next_submit += 1
@@ -286,8 +316,12 @@ class BatchLoader:
             window = threads * 2
             futures = deque(pool.submit(load, b) for b in batches[:window])
             next_submit = min(window, n_batches)
+            yielded = 0
             while futures:
-                yield futures.popleft().result()
+                yield self._finalize(
+                    futures.popleft().result(), self._epoch, yielded
+                )
+                yielded += 1
                 if next_submit < n_batches:
                     futures.append(pool.submit(load, batches[next_submit]))
                     next_submit += 1

@@ -251,6 +251,33 @@ def test_augmentation_deterministic_and_epoch_varying():
     assert not np.allclose(a1, b)
 
 
+def test_aug_order_identical_across_ranks():
+    """--distributed --device_augment: every rank must hold the SAME
+    per-batch ``aug_order`` (it is replicated by shard_batch, and the
+    in-graph jitter must match the single-process stream).  Rank slices
+    start at different global rows, so a sample-0-derived order would
+    diverge; BatchLoader derives it from (seed, epoch, batch_idx)."""
+    def orders(rank, count):
+        ds = make_hand_dataset(train=True, device_augment=True)
+        ld = BatchLoader(
+            ds, batch_size=8, num_workers=1, seed=3,
+            process_rank=rank, process_count=count,
+        )
+        out = []
+        for b in ld:
+            # must be a 0-d ndarray: train.loop._to_device keeps only
+            # np.ndarray leaves, so a numpy scalar would be dropped
+            assert isinstance(b["aug_order"], np.ndarray)
+            assert b["aug_order"].shape == ()
+            out.append(int(b["aug_order"]))
+        return out
+
+    single = orders(0, 1)
+    r0, r1 = orders(0, 2), orders(1, 2)
+    assert r0 == r1 == single
+    assert len(set(single)) > 1  # varies across batches
+
+
 def test_loader_epochs_vary_augmentation():
     ds = make_hand_dataset(train=True)
     loader = BatchLoader(ds, batch_size=4, num_workers=2, shuffle=False, seed=0)
