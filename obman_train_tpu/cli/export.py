@@ -24,7 +24,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--out", required=True, help="artifact output path")
     p.add_argument("--mano_assets", default=None,
                    help="override MANO asset dir ('synthetic' for testing)")
-    p.add_argument("--image_size", type=int, default=256)
+    p.add_argument("--image_size", type=int, default=None,
+                   help="model input resolution (default: the experiment's "
+                        "config.model.image_size)")
     p.add_argument("--platforms", nargs="*", default=None,
                    help="lowering platforms (e.g. tpu cpu); default: "
                         "current backend")
@@ -42,6 +44,10 @@ def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
 
     import numpy as np
+
+    from obman_train_tpu.cli import apply_platform_override
+
+    apply_platform_override()
 
     from obman_train_tpu.demo.export import export_model, load_exported
     from obman_train_tpu.demo.inference import DemoModel
@@ -62,7 +68,7 @@ def main(argv=None) -> None:
         # a static-batch artifact accepts only its pinned batch size
         b = args.batch_size or 1
         frame = np.zeros(
-            (b, args.image_size, args.image_size, 3), np.uint8
+            (b, model.image_size, model.image_size, 3), np.uint8
         )
         sides = np.zeros((b,), np.int32)
         flip = np.zeros((b,), bool)

@@ -67,21 +67,28 @@ def main(argv=None):
                         "back to disk output when no display is available.")
     args = parser.parse_args(argv)
 
+    from obman_train_tpu.cli import apply_platform_override
+
+    apply_platform_override()
+
     from obman_train_tpu.demo import DemoModel
 
     display = _LiveDisplay() if args.show else None
 
-    size_kw = {"image_size": args.image_size} if args.image_size else {}
+    # image_size=None lets DemoModel use the experiment's own
+    # config.model.image_size from the restored opt.json
     if args.resume is None:
         from obman_train_tpu.config import ExperimentConfig
 
         model = DemoModel(
             config=ExperimentConfig(),
-            mano_assets=args.mano_assets or "synthetic", **size_kw,
+            mano_assets=args.mano_assets or "synthetic",
+            image_size=args.image_size,
         )
     else:
         model = DemoModel(
-            exp_dir=args.resume, mano_assets=args.mano_assets, **size_kw
+            exp_dir=args.resume, mano_assets=args.mano_assets,
+            image_size=args.image_size,
         )
 
     os.makedirs(args.out_dir, exist_ok=True)

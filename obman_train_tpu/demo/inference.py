@@ -26,8 +26,12 @@ class DemoModel:
         exp_dir: Optional[str] = None,
         config: Optional[ExperimentConfig] = None,
         mano_assets: Optional[str] = None,
-        image_size: int = 256,
+        image_size: Optional[int] = None,
     ):
+        """``image_size=None`` (default) uses the experiment's own
+        ``config.model.image_size`` from the restored opt.json, so demos run
+        at the resolution the checkpoint was trained at; pass an int to
+        override (e.g. for latency experiments)."""
         import jax
 
         from obman_train_tpu.cli.traineval import load_mano_pair
@@ -38,6 +42,8 @@ class DemoModel:
             assert exp_dir is not None
             config = ExperimentConfig.from_json(os.path.join(exp_dir, "opt.json"))
         self.cfg = config
+        if image_size is None:
+            image_size = int(getattr(config.model, "image_size", 256))
         self.image_size = image_size
         mano_dir = mano_assets or config.mano_assets
         net = build_handnet(config.model, *load_mano_pair(mano_dir))
