@@ -63,10 +63,17 @@ def intersect_engines(
 ) -> Optional[float]:
     """Exact boolean intersection volume, the reference's ``mode="engines"``
     (netscripts/intersect.py:82-111): scad first, blender fallback, None
-    for a non-watertight result.  Requires trimesh + openscad/blender in
-    the image — gated like the pybullet simulation backend (this image
-    ships neither; tests auto-skip)."""
-    import trimesh
+    (counted as skipped) for a non-watertight result or when both engines
+    error.  Requires trimesh + openscad/blender in the image — gated like
+    the pybullet simulation backend (this image ships neither; tests
+    auto-skip); a missing trimesh raises a clean RuntimeError."""
+    try:
+        import trimesh
+    except ImportError as e:
+        raise RuntimeError(
+            "--intersect_mode engines needs trimesh (+ openscad or "
+            "blender); use the default voxel mode in this image"
+        ) from e
 
     obj_mesh = trimesh.Trimesh(vertices=obj_verts, faces=obj_faces)
     hand_mesh = trimesh.Trimesh(vertices=hand_verts, faces=hand_faces)
@@ -84,7 +91,15 @@ def intersect_engines(
             return vol
     except Exception:
         pass
-    return _try("blender")
+    try:
+        return _try("blender")
+    except Exception as e:
+        # an engine failure must not abort the whole epoch aggregation —
+        # count the sample as skipped like a non-watertight boolean
+        import warnings
+
+        warnings.warn(f"boolean engines failed ({e}); sample skipped")
+        return None
 
 
 def full_intersect(
@@ -102,6 +117,14 @@ def full_intersect(
 
     if mode not in ("voxels", "engines"):
         raise ValueError(f"unknown intersect mode {mode!r}")
+    if mode == "engines":
+        import importlib.util
+
+        if importlib.util.find_spec("trimesh") is None:
+            raise RuntimeError(  # fail BEFORE scanning an epoch of batches
+                "--intersect_mode engines needs trimesh (+ openscad or "
+                "blender); use the default voxel mode in this image"
+            )
     volumes = []
     skipped = 0
     for name in sorted(os.listdir(exp_id)):

@@ -312,6 +312,19 @@ def test_intersect_engines_exact_volume():
         assert vol == pytest.approx(0.125, rel=1e-3)
 
 
+def test_intersect_engines_missing_trimesh_errors_cleanly(tmp_path):
+    """Without trimesh, engines mode must fail fast with a clean message
+    BEFORE scanning an epoch of batches (not a raw ImportError after)."""
+    import importlib.util
+
+    if importlib.util.find_spec("trimesh") is not None:
+        pytest.skip("trimesh installed; the engines path runs for real")
+    from obman_train_tpu.simulation.intersect import full_intersect
+
+    with pytest.raises(RuntimeError, match="trimesh"):
+        full_intersect(str(tmp_path), mode="engines")
+
+
 def test_pybullet_backend_matches_protocol():
     """The verbatim-reference backend (simulate.py:181-230) runs whenever
     pybullet is installed in the image; auto-skips otherwise.  A cradled
