@@ -28,6 +28,10 @@ def main(argv=None):
 
     from PIL import Image
 
+    from obman_train_tpu.cli import apply_platform_override
+
+    apply_platform_override()
+
     from obman_train_tpu.demo import DemoModel
 
     if args.resume is None:

@@ -66,6 +66,10 @@ def main(argv=None):
     import numpy as np
     import torch
 
+    from obman_train_tpu.cli import apply_platform_override
+
+    apply_platform_override()
+
     opt_pkl = args.opt_pkl
     if opt_pkl is None:
         candidate = os.path.join(

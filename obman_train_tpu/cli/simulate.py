@@ -31,6 +31,10 @@ def main(argv=None):
                         "(reference simulate.py:43-108)")
     args = parser.parse_args(argv)
 
+    from obman_train_tpu.cli import apply_platform_override
+
+    apply_platform_override()  # intersect/savemano paths jit on-device
+
     from obman_train_tpu.simulation import full_simul
 
     summary = full_simul(

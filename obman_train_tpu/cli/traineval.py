@@ -315,14 +315,12 @@ def main(argv=None):
 
     import jax
 
-    # In images where a preloaded PJRT plugin pins the platform at
-    # interpreter start (sitecustomize), the JAX_PLATFORMS env var is
-    # consulted too early to override — only the config API works.
-    # OBMAN_PLATFORM=cpu is how tests/CI force this CLI onto the CPU
-    # backend (tests/test_distributed.py; same trap as bench.py's
-    # OBMAN_BENCH_CPU).
-    if os.environ.get("OBMAN_PLATFORM"):
-        jax.config.update("jax_platforms", os.environ["OBMAN_PLATFORM"])
+    from obman_train_tpu.cli import apply_platform_override
+
+    # OBMAN_PLATFORM=cpu is how tests/CI force the CLIs onto the CPU
+    # backend (tests/test_distributed.py; same sitecustomize trap as
+    # bench.py's OBMAN_BENCH_CPU — see cli/__init__.py).
+    apply_platform_override()
 
     if args.distributed:
         # CPU multi-process runs need a cross-process collectives backend;
