@@ -572,7 +572,13 @@ def main():
                 "samples_per_sec (scale loader cores/hosts)",
     }
 
-    with open("bench_details.json", "w") as f:
+    # CPU smokes must not clobber the on-disk real-TPU details file
+    details_path = (
+        "bench_details_cpu.json"
+        if os.environ.get("OBMAN_BENCH_CPU")
+        else "bench_details.json"
+    )
+    with open(details_path, "w") as f:
         json.dump(
             {
                 "device": str(jax.devices()[0]),
