@@ -278,6 +278,24 @@ def test_aug_order_identical_across_ranks():
     assert len(set(single)) > 1  # varies across batches
 
 
+def test_device_augment_batch_survives_to_device():
+    """Every leaf the model reads must survive train.loop._to_device,
+    which keeps only np.ndarray leaves (dropping string metadata): the
+    in-graph jitter needs BOTH aug_factors and the per-batch aug_order
+    (handnet reads batch['aug_order'] whenever aug_factors is present, so
+    a dropped leaf crashes --device_augment training at trace time)."""
+    from obman_train_tpu.train.loop import _to_device
+
+    ds = make_hand_dataset(train=True, device_augment=True)
+    ld = BatchLoader(ds, batch_size=8, num_workers=1, seed=0)
+    batch = next(iter(ld))
+    batch["dataset"] = "synthetic"  # ConcatLoader-style string metadata
+    dev = _to_device(batch)
+    assert "aug_factors" in dev and "aug_order" in dev
+    assert dev["aug_order"].shape == ()
+    assert "dataset" not in dev
+
+
 def test_loader_epochs_vary_augmentation():
     ds = make_hand_dataset(train=True)
     loader = BatchLoader(ds, batch_size=4, num_workers=2, shuffle=False, seed=0)
