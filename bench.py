@@ -323,8 +323,10 @@ def main():
     # "pipelined" is _timeit's overlapped per-call time (throughput view);
     # "request" blocks on a host-read scalar EVERY call (true latency —
     # block_until_ready alone can return early on the tunnel); "null" runs
-    # a trivial kernel over the same input/output shapes, isolating the
-    # transport floor, so device_ms ≈ request − null.
+    # a trivial kernel over the SAME INPUT shapes but returns a scalar,
+    # and BOTH readers pull only one scalar to the host — so the split
+    # isolates h2d + dispatch + RTT as "transport" and excludes d2h of
+    # the real output tree from both sides; device_ms ≈ request − null.
     frame1 = frames[:1]
     side1 = sides[:1]
     dt1 = _timeit(jfn, (ho_variables, frame1, side1))

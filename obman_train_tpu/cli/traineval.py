@@ -33,7 +33,10 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--atlas_points_nb", type=int, default=600)
     d.add_argument("--controlled_exp", action="store_true")
     d.add_argument("--controlled_size", type=int, default=100000)
-    d.add_argument("--workers", type=int, default=8)
+    d.add_argument("--workers", type=int, default=None,
+                   help="loader workers (default 8, auto-clamped to the "
+                        "host's cores; an explicit value is honored "
+                        "exactly — oversubscribe for I/O-bound datasets)")
     d.add_argument("--fhbhands_split_type", default="actions")
     d.add_argument("--fhbhands_split_choice", default="1")
     d.add_argument("--fhbhands_topology", default=None)
@@ -270,7 +273,7 @@ def args_to_config(args):
         center_idx=args.center_idx,
         mode=args.mode,
         override_scale=args.override_scale,
-        workers=args.workers,
+        workers=8 if args.workers is None else args.workers,
     )
     return ExperimentConfig(
         exp_id=args.exp_id,
@@ -344,6 +347,18 @@ def main(argv=None):
         # cluster autodetection; TPU pods autodetect with no kwargs)
         kw = {}
         if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+            missing = [
+                v
+                for v in ("JAX_NUM_PROCESSES", "JAX_PROCESS_ID")
+                if os.environ.get(v) is None
+            ]
+            if missing:
+                raise SystemExit(
+                    "JAX_COORDINATOR_ADDRESS is set but "
+                    f"{' and '.join(missing)} {'is' if len(missing) == 1 else 'are'} "
+                    "not: the three variables must be set together for "
+                    "--distributed (TPU pods autodetect with none set)"
+                )
             kw = dict(
                 coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
                 num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
@@ -436,6 +451,9 @@ def main(argv=None):
                     use_processes=args.loader_processes,
                     process_rank=jax.process_index(),
                     process_count=jax.process_count(),
+                    # explicit --workers is honored exactly; only the
+                    # default worker count auto-clamps to the host cores
+                    clamp_threads=args.workers is None,
                 )
             )
             metas.append(loader_meta(name, split))

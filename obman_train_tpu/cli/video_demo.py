@@ -207,7 +207,10 @@ class _LiveDisplay:
         self.active = True
 
     def update(self, frame_rgb, j2d, mesh_rgb=None, attention_rgb=None):
-        if not self.active:
+        # stop repainting the moment q is pressed (the reference's loop
+        # breaks immediately, webcam_demo.py:130-134) — without this the
+        # rest of the in-flight batch would still be displayed
+        if not self.active or self.quit:
             return
         cv2 = self._cv2
         img = np.ascontiguousarray(frame_rgb[:, :, ::-1])

@@ -155,6 +155,7 @@ class BatchLoader:
         use_processes: bool = False,
         process_rank: int = 0,
         process_count: int = 1,
+        clamp_threads: bool = True,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -166,6 +167,7 @@ class BatchLoader:
         self.use_processes = use_processes
         self.process_rank = process_rank
         self.process_count = process_count
+        self.clamp_threads = clamp_threads
         if process_count > 1:
             if batch_size % process_count:
                 raise ValueError(
@@ -303,14 +305,20 @@ class BatchLoader:
             out = collate(samples)
             return to_model_batch(out) if self.model_batch else out
 
-        # Clamp threads to the host's cores: each worker loads a whole
-        # batch, so threads beyond the core count only thrash the GIL/
+        # By default clamp threads to the host's cores: for CPU-bound
+        # augmentation, threads beyond the core count only thrash the GIL/
         # scheduler (measured on a 1-core host: 8 threads run bimodally at
         # 202-413 samples/s vs a stable 380 with 1; real multi-core hosts
-        # keep their full worker count).
+        # keep their full worker count).  ``clamp_threads=False`` honors
+        # the requested count exactly — right for I/O-bound datasets
+        # (disk reads / jpeg decode release the GIL, so oversubscription
+        # hides latency); the CLI disables the clamp when --workers is
+        # passed explicitly.
         import os as _os
 
-        threads = max(1, min(self.num_workers, _os.cpu_count() or 1))
+        threads = max(1, self.num_workers)
+        if self.clamp_threads:
+            threads = min(threads, _os.cpu_count() or 1)
         with ThreadPoolExecutor(threads) as pool:
             # Keep a bounded window of in-flight batches (prefetch depth 2x).
             window = threads * 2

@@ -102,16 +102,21 @@ class EvalUtil:
             return
         from jax.experimental import multihost_utils as mhu
 
-        shapes = np.full((64, 2), -1, np.int32)
-        for i, d in enumerate(self._dists[:64]):
-            shapes[i] = d.shape
-        all_shapes = np.asarray(mhu.process_allgather(shapes))  # (P, 64, 2)
-        uniform = (
-            len(self._dists) <= 64
-            and (all_shapes == all_shapes[:1]).all()
-            and len({d.shape for d in self._dists}) <= 1
+        # The uniform/ragged decision MUST be identical on every rank (the
+        # two branches issue different collectives), so it is derived only
+        # from one allgathered (feed_count, batch, K) summary — never from
+        # process-local state directly.  batch = -1 encodes locally
+        # non-uniform feed shapes.
+        local_shapes = {d.shape for d in self._dists}
+        b, k = local_shapes.pop() if len(local_shapes) == 1 else (-1, -1)
+        summary = np.asarray([len(self._dists), b, k], np.int32)
+        all_sum = np.asarray(mhu.process_allgather(summary))  # (P, 3)
+        uniform = bool(
+            (all_sum == all_sum[:1]).all()
+            and all_sum[0, 0] > 0
+            and all_sum[0, 1] != -1
         )
-        if uniform and self._dists:
+        if uniform:
             # (F, b, K) f64, transported losslessly as uint32 pairs (the
             # gather itself runs without x64 enabled)
             d = np.ascontiguousarray(np.stack(self._dists))

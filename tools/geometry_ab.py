@@ -117,8 +117,14 @@ def main():
                 )[:6]
             }
 
+    # CPU smokes must not clobber the committed real-TPU measurement
+    name = (
+        "geometry_ab_cpu.json"
+        if os.environ.get("OBMAN_AB_CPU")
+        else "geometry_ab.json"
+    )
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "..", "geometry_ab.json")
+                        "..", name)
     with open(os.path.abspath(path), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out["arms"], indent=1))
