@@ -229,6 +229,106 @@ def test_two_process_matches_single_process(tmp_path):
         )
 
 
+_MERGE_WORKER = r"""
+import sys
+import numpy as np
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+try:
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+except Exception:
+    pass
+coord, rank = sys.argv[1], int(sys.argv[2])
+jax.distributed.initialize(
+    coordinator_address=coord, num_processes=2, process_id=rank
+)
+from obman_train_tpu.train.metrics import EvalUtil
+
+
+def batch(p, i, b=4, k=21):
+    # deterministic per (process, feed) so both ranks can reconstruct the
+    # expected global pool locally
+    rng = np.random.default_rng((7, p, i))
+    gt = rng.normal(0, 30, (b, k, 3))
+    return gt, gt + rng.normal(0, 2, (b, k, 3))
+
+
+def dists(p, i, b=4):
+    gt, pred = batch(p, i, b)
+    return np.linalg.norm(
+        np.asarray(gt, np.float64) - np.asarray(pred, np.float64), axis=-1
+    )
+
+
+# --- uniform: same feed count + shapes on both ranks -> merged pool is
+# bit-exactly the single-process global row order (feed-major, processes
+# interleaved within each feed) ---
+ev = EvalUtil()
+for i in range(3):
+    ev.feed(*batch(rank, i))
+ev.merge_distributed()
+want = [np.concatenate([dists(p, i) for p in range(2)]) for i in range(3)]
+got = np.concatenate(ev._dists)
+assert (got == np.concatenate(want)).all(), "uniform merge row order"
+
+# --- divergent feed counts (the regression: the branch decision must be
+# collective — a local decision deadlocks/crashes in mismatched
+# allgathers).  rank 0 feeds 3 batches, rank 1 feeds 2 -> ragged path on
+# BOTH ranks, pools concatenated per-process ---
+ev = EvalUtil()
+for i in range(3 - rank):
+    ev.feed(*batch(rank, i))
+ev.merge_distributed()
+want = np.concatenate(
+    [dists(0, 0), dists(0, 1), dists(0, 2), dists(1, 0), dists(1, 1)]
+)
+got = np.concatenate(ev._dists)
+assert got.shape == want.shape, (got.shape, want.shape)
+assert (got == want).all(), "ragged merge pool (rank-ordered concat)"
+print("MERGE_OK")
+"""
+
+
+@pytest.mark.slow
+def test_merge_distributed_branches(tmp_path):
+    """Pins EvalUtil.merge_distributed's two collective branches across 2
+    real processes: bit-exact global row order when feeds are uniform, and
+    the ragged fallback when ranks disagree on feed COUNT — the case where
+    a process-local branch decision issues mismatched collectives and
+    deadlocks (regression test for the allgathered-summary predicate)."""
+    coord = f"127.0.0.1:{_free_port()}"
+    logs = [open(str(tmp_path / f"merge_rank{r}.log"), "w+") for r in range(2)]
+    procs = [
+        subprocess.Popen(
+            # proc_id drops the per-process-keyed jit cache (see _env);
+            # the worker passes coordinator/rank itself via argv
+            [sys.executable, "-u", "-c", _MERGE_WORKER, coord, str(r)],
+            env=_env(4, None, None, r), cwd=REPO,
+            stdout=logs[r], stderr=subprocess.STDOUT, text=True,
+        )
+        for r in range(2)
+    ]
+    try:
+        for p in procs:
+            p.wait(timeout=600)
+    except subprocess.TimeoutExpired:
+        for q in procs:
+            q.kill()
+        raise
+    finally:
+        outs = []
+        for f in logs:
+            f.flush()
+            f.seek(0)
+            outs.append(f.read())
+            f.close()
+    for r, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0 and "MERGE_OK" in out, (
+            f"merge rank {r} failed:\n{out[-4000:]}"
+        )
+
+
 def _flatten(tree, prefix=""):
     out = {}
     if isinstance(tree, dict):
