@@ -142,6 +142,13 @@ class DemoModel:
         """Single frame (H, W, 3) uint8 -> results dict (batch dim 1)."""
         import jax.numpy as jnp
 
+        if np.ndim(frame) != 3:
+            raise ValueError(
+                f"predict takes ONE (H, W, 3) frame, got shape "
+                f"{np.shape(frame)}; for batches call predict_dual per "
+                f"frame or model._infer directly"
+            )
+
         frames = jnp.asarray(frame[None])
         sides = jnp.asarray([0 if hand_side == "right" else 1], np.int32)
         out = self._infer(
