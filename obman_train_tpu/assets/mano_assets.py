@@ -205,7 +205,12 @@ def synthetic_mano_assets(side: str = "right", seed: int = 0) -> ManoAssets:
         os.path.join(os.path.dirname(__file__), "data", "contact_zones.npz")
     )
     faces = data["faces"].astype(np.int32)
-    v_template = rest_verts.astype(np.float32) / 1000.0  # stored in mm -> metres
+    # The stored rest verts are ALREADY metres (bbox ~0.19 x 0.06 x 0.17 m,
+    # a real MANO template); an earlier /1000 "mm -> metres" conversion
+    # here shrank the synthetic hand to ~0.2 mm, at which scale the random
+    # blendshapes dominate and every consumer saw a noise cloud instead of
+    # a hand (flat EPE/AUC on synthetic training runs).
+    v_template = rest_verts.astype(np.float32)
     if side == "left":
         v_template = v_template * np.array([-1.0, 1.0, 1.0], dtype=np.float32)
 

@@ -2,9 +2,18 @@
 
 Plays the role of the reference's minimal adapters (core50.py/yanademo.py
 show the adapter contract) but with geometrically consistent annotations:
-per-index deterministic RNG generates a camera-space hand point set whose 2D
-joints are the exact pinhole projection, so augmentation-equivariance can be
+per-index deterministic RNG generates a camera-space hand whose 2D joints
+are the exact pinhole projection, so augmentation-equivariance can be
 tested end to end without any dataset on disk.
+
+The hand itself is *kinematically consistent*: verts/joints are a rigid
+transform (+ shape blendshapes) of the synthetic MANO template
+(assets/mano_assets.py::synthetic_mano_assets), i.e. exactly reachable by
+the model's own MANO layer (root rotation + betas, zero articulated
+pose).  With iid-noise joints (the previous fixture) the best any network
+can do is the kinematic projection of noise, so training runs showed flat
+EPE/AUC; with reachable GT, a traineval run on this dataset demonstrably
+converges (docs/convergence.md).
 """
 
 from __future__ import annotations
@@ -54,6 +63,26 @@ class SyntheticDataset:
     def _rng(self, idx):
         return np.random.default_rng(self._seed * 100003 + idx)
 
+    def _template(self):
+        """Synthetic-MANO template tables for this side (mm), lazy."""
+        memo = getattr(self, "_template_memo", None)
+        if memo is None:
+            from obman_train_tpu.assets.mano_assets import (
+                JOINT_REORDER,
+                TIPS,
+                synthetic_mano_assets,
+            )
+
+            a = synthetic_mano_assets(self._side)
+            memo = self._template_memo = {
+                "v_template_mm": a.v_template * 1000.0,   # metres -> mm
+                "shapedirs_mm": a.shapedirs * 1000.0,     # (778, 3, 10)
+                "J_regressor": a.J_regressor,             # (16, 778)
+                "tips": TIPS,
+                "reorder": JOINT_REORDER,
+            }
+        return memo
+
     def _scene(self, idx):
         # Memoized: the adapter contract calls several accessors per sample
         # (joints3d/verts3d/objpoints3d/joints2d/center_scale) and
@@ -67,13 +96,30 @@ class SyntheticDataset:
         if hit is not None:
             return hit
         rng = self._rng(idx)
-        # Hand joints in camera space (mm), in front of the camera.
+        t = self._template()
+        # Shape blendshapes + rigid transform of the template hand, in
+        # camera space (mm), in front of the camera.
+        betas = rng.normal(0, 1.5, 10)
+        verts3d = t["v_template_mm"] + t["shapedirs_mm"] @ betas  # (778, 3)
+        axis = rng.normal(0, 1, 3)
+        axis /= np.linalg.norm(axis) + 1e-12
+        angle = rng.uniform(0.0, np.pi)
+        K = np.array(
+            [[0, -axis[2], axis[1]],
+             [axis[2], 0, -axis[0]],
+             [-axis[1], axis[0], 0]]
+        )
+        R = np.eye(3) + np.sin(angle) * K + (1 - np.cos(angle)) * (K @ K)
         root = np.array([0.0, 0.0, 500.0]) + rng.normal(0, 40, 3)
-        joints3d = root + rng.normal(0, 40, (21, 3))
-        joints3d[:, 2] = np.abs(joints3d[:, 2] - root[2]) * 0.3 + root[2]
-        verts3d = root + rng.normal(0, 45, (778, 3))
-        verts3d[:, 2] = np.abs(verts3d[:, 2] - root[2]) * 0.3 + root[2]
-        obj_center = root + np.array([30.0, 0.0, 20.0])
+        verts3d = verts3d @ R.T + root
+        # Joints: kinematic-chain joints from the regressor + fingertip
+        # verts, reordered into the 21-joint output convention — the same
+        # recipe the model's MANO layer uses (models/mano.py), so the GT
+        # is exactly in its image.
+        joints16 = t["J_regressor"] @ verts3d                     # (16, 3)
+        joints21 = np.concatenate([joints16, verts3d[t["tips"]]])
+        joints3d = joints21[t["reorder"]]
+        obj_center = root + R @ np.array([30.0, 0.0, 20.0])
         objpoints3d = obj_center + rng.normal(0, 25, (2048, 3))
         out = (
             joints3d.astype(np.float32),

@@ -146,8 +146,10 @@ def test_grad_accum_matches_single_step(rng):
         jax.tree_util.tree_leaves(s1.params),
         jax.tree_util.tree_leaves(s2.params),
     ):
+        # rtol covers f32 reduction-order noise on the larger gradients the
+        # realistic-scale synthetic hand produces (losses are in mm^2)
         np.testing.assert_allclose(
-            np.asarray(p1), np.asarray(p2), atol=1e-5
+            np.asarray(p1), np.asarray(p2), rtol=1e-5, atol=1e-5
         )
 
 
