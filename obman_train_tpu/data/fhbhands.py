@@ -19,6 +19,7 @@ from typing import Optional
 import numpy as np
 
 from obman_train_tpu.data import transforms as T
+from obman_train_tpu.data.cacheutil import root_cache_tag
 from obman_train_tpu.data.plyio import load_ply
 from obman_train_tpu.data.queries import BaseQueries, get_trans_queries
 
@@ -200,7 +201,7 @@ class FHBHands:
             self.cache_folder,
             f"{self.split}_{self.split_type}_{self.mini_factor}"
             f"_obj{self.use_objects}_filt{self.filter_thresh}"
-            f"_top{self.topology}.pkl",
+            f"_top{self.topology}_{root_cache_tag(self.root)}.pkl",
         )
         if self.use_cache and os.path.exists(cache_path):
             with open(cache_path, "rb") as f:

@@ -23,6 +23,7 @@ from typing import Optional
 import numpy as np
 
 from obman_train_tpu.data import transforms as T
+from obman_train_tpu.data.cacheutil import root_cache_tag
 from obman_train_tpu.data.queries import BaseQueries, get_trans_queries
 
 CAM_INTR = np.array(
@@ -129,9 +130,10 @@ class ObMan:
 
     def _load_dataset(self):
         os.makedirs(self.cache_folder, exist_ok=True)
+        root_tag = root_cache_tag(self.obman_root)
         cache_path = os.path.join(
             self.cache_folder,
-            f"{self.split}_{self.mini_factor}_mode_{self.mode}.pkl",
+            f"{self.split}_{self.mini_factor}_mode_{self.mode}_{root_tag}.pkl",
         )
         if self.use_cache and os.path.exists(cache_path):
             with open(cache_path, "rb") as f:

@@ -14,6 +14,7 @@ import pickle
 import numpy as np
 
 from obman_train_tpu.data import transforms as T
+from obman_train_tpu.data.cacheutil import root_cache_tag
 from obman_train_tpu.data.queries import BaseQueries, get_trans_queries
 
 CAM_INTR = np.array(
@@ -71,7 +72,10 @@ class StereoHands:
 
     def _load_dataset(self):
         os.makedirs(self.cache_folder, exist_ok=True)
-        cache_path = os.path.join(self.cache_folder, f"{self.split}.pkl")
+        cache_path = os.path.join(
+            self.cache_folder,
+            f"{self.split}_{root_cache_tag(self.root)}.pkl",
+        )
         if self.use_cache and os.path.exists(cache_path):
             with open(cache_path, "rb") as f:
                 ann = pickle.load(f)

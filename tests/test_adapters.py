@@ -117,6 +117,58 @@ def test_obman_in_hand_dataset(obman_root):
     np.testing.assert_allclose(s[TransQueries.joints3d][9], 0, atol=1e-3)
 
 
+def test_obman_cache_keyed_by_root(tmp_path):
+    """The annotation cache must not serve one tree's absolute paths to a
+    same-named split under a different root (the reference keys only by
+    split/mini_factor/mode, obman.py:143-150; regression: a fabricated
+    tree in a fresh tmp dir read a previous run's cached rgb paths)."""
+    pytest.importorskip("cv2")
+    from obman_train_tpu.data.fabricate import fabricate_obman
+    from obman_train_tpu.data.obman import ObMan
+
+    cache = str(tmp_path / "shared_cache")
+    roots = []
+    for name, n in (("a", 3), ("b", 5)):
+        obman_root, shapenet_root = fabricate_obman(
+            str(tmp_path / name), n, write_segm=False
+        )
+        roots.append((obman_root, shapenet_root, n))
+    for obman_root, shapenet_root, n in roots + roots:  # 2nd pass = cache hits
+        ds = ObMan(
+            split="train", obman_root=obman_root,
+            shapenet_root=shapenet_root, cache_folder=cache, use_cache=True,
+        )
+        assert len(ds) == n
+        assert all(p.startswith(obman_root) for p in ds.image_names)
+        assert ds.get_image(0).shape == (256, 256, 3)
+
+
+def test_fabricate_obman_tree_loads(tmp_path):
+    """data/fabricate.py writes a real-file mini-ObMan tree (JPEGs + meta
+    pickles) that the ObMan adapter + factory + loader consume end to end —
+    the fixture bench.py's input_pipeline_real_decode entry measures."""
+    pytest.importorskip("cv2")
+    from obman_train_tpu.data.fabricate import fabricate_obman
+    from obman_train_tpu.data.factory import get_dataset
+    from obman_train_tpu.data.loader import BatchLoader
+
+    obman_root, shapenet_root = fabricate_obman(str(tmp_path), 6)
+    assert len(os.listdir(os.path.join(obman_root, "train", "rgb"))) == 6
+    ds = get_dataset(
+        "obman", "train",
+        meta={"obman_root": obman_root, "shapenet_root": shapenet_root},
+        device_augment=True,
+    )
+    assert len(ds) == 6
+    loader = BatchLoader(ds, batch_size=3, num_workers=2, seed=0)
+    batches = list(loader)
+    assert len(batches) == 2
+    img = batches[0]["images"]
+    assert img.shape[1:] == (256, 256, 3)
+    # real decoded JPEG content, not a constant fill
+    assert np.asarray(img).std() > 1.0
+
+
 # --------------------------------------------------------------------------
 # FHB fixture
 # --------------------------------------------------------------------------
