@@ -19,6 +19,10 @@ def main(argv=None):
     parser.add_argument("--image", required=True)
     parser.add_argument("--resume", default=None,
                         help="experiment dir with opt.json + checkpoint")
+    parser.add_argument("--from_export", default=None,
+                        help="serve from a cli.export artifact (skips "
+                        "checkpoint restore and jit compile at startup; "
+                        "needs the artifact's .meta.json sidecar)")
     parser.add_argument("--output", default="image_demo_out.png")
     parser.add_argument("--hand_side", default="left",
                         choices=["left", "right"])
@@ -32,16 +36,22 @@ def main(argv=None):
 
     apply_platform_override()
 
-    from obman_train_tpu.demo import DemoModel
+    if args.from_export is not None:
+        from obman_train_tpu.demo.export import ExportedModel
 
-    if args.resume is None:
-        from obman_train_tpu.config import ExperimentConfig
-
-        model = DemoModel(
-            config=ExperimentConfig(), mano_assets=args.mano_assets or "synthetic"
-        )
+        model = ExportedModel(args.from_export)
     else:
-        model = DemoModel(exp_dir=args.resume, mano_assets=args.mano_assets)
+        from obman_train_tpu.demo import DemoModel
+
+        if args.resume is None:
+            from obman_train_tpu.config import ExperimentConfig
+
+            model = DemoModel(
+                config=ExperimentConfig(),
+                mano_assets=args.mano_assets or "synthetic",
+            )
+        else:
+            model = DemoModel(exp_dir=args.resume, mano_assets=args.mano_assets)
 
     frame = np.asarray(Image.open(args.image).convert("RGB"))
     if args.no_flip:

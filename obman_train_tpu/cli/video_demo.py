@@ -49,6 +49,10 @@ def main(argv=None):
     parser.add_argument("--frames_dir", default=None)
     parser.add_argument("--video", default=None)
     parser.add_argument("--resume", default=None)
+    parser.add_argument("--from_export", default=None,
+                        help="serve from a cli.export artifact (skips "
+                        "checkpoint restore and jit compile at startup; "
+                        "--attention is unavailable in this mode)")
     parser.add_argument("--mano_assets", default=None)
     parser.add_argument("--hand_side", default="left", choices=["left", "right"])
     parser.add_argument("--batch", type=int, default=8)
@@ -71,25 +75,38 @@ def main(argv=None):
 
     apply_platform_override()
 
-    from obman_train_tpu.demo import DemoModel
-
     display = _LiveDisplay() if args.show else None
 
-    # image_size=None lets DemoModel use the experiment's own
-    # config.model.image_size from the restored opt.json
-    if args.resume is None:
-        from obman_train_tpu.config import ExperimentConfig
+    if args.from_export is not None:
+        from obman_train_tpu.demo.export import ExportedModel
 
-        model = DemoModel(
-            config=ExperimentConfig(),
-            mano_assets=args.mano_assets or "synthetic",
-            image_size=args.image_size,
-        )
+        model = ExportedModel(args.from_export)
+        if args.attention:
+            import warnings
+
+            warnings.warn(
+                "--attention needs encoder intermediates the export "
+                "artifact does not expose; disabling attention output"
+            )
+            args.attention = False
     else:
-        model = DemoModel(
-            exp_dir=args.resume, mano_assets=args.mano_assets,
-            image_size=args.image_size,
-        )
+        from obman_train_tpu.demo import DemoModel
+
+        # image_size=None lets DemoModel use the experiment's own
+        # config.model.image_size from the restored opt.json
+        if args.resume is None:
+            from obman_train_tpu.config import ExperimentConfig
+
+            model = DemoModel(
+                config=ExperimentConfig(),
+                mano_assets=args.mano_assets or "synthetic",
+                image_size=args.image_size,
+            )
+        else:
+            model = DemoModel(
+                exp_dir=args.resume, mano_assets=args.mano_assets,
+                image_size=args.image_size,
+            )
 
     os.makedirs(args.out_dir, exist_ok=True)
     names, frames = [], []

@@ -20,10 +20,16 @@ Typical use::
     ...
     serve = load_exported("model.jaxexp")
     out = serve(frames_u8, sides, flip)   # dict of verts/joints/objpoints3d
+
+``export_model`` also writes a ``<out>.meta.json`` sidecar (image size +
+hand/object mesh faces), which lets ``ExportedModel`` stand in for a full
+``DemoModel`` in the demos (``--from_export``) with no checkpoint, config,
+or MANO assets on the serving host — and no trace/compile at startup.
 """
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Optional, Sequence
 
@@ -82,13 +88,28 @@ def export_model(
     os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
     with open(out_path, "wb") as f:
         f.write(blob)
-    return {
+    info = {
         "platforms": list(exp.platforms),
         "batch": "symbolic" if batch_size is None else batch_size,
         "image_size": size,
         "bytes": len(blob),
         "out_path": out_path,
     }
+    # Demo-rendering sidecar: faces are tiny (1538 hand + ~1.3k object
+    # triangles) and make the artifact pair fully self-contained — the
+    # serving host needs neither MANO assets nor the atlas config.
+    import numpy as np
+
+    meta = {
+        "image_size": size,
+        "platforms": info["platforms"],
+        "batch": info["batch"],
+        "hand_faces": np.asarray(model.hand_faces).tolist(),
+        "obj_faces": np.asarray(model.obj_faces).tolist(),
+    }
+    with open(out_path + ".meta.json", "w") as f:
+        json.dump(meta, f)
+    return info
 
 
 def load_exported(path: str):
@@ -101,3 +122,55 @@ def load_exported(path: str):
     with open(path, "rb") as f:
         exp = jexport.deserialize(f.read())
     return exp.call
+
+
+class ExportedModel:
+    """Checkpoint-free demo model backed by a jax.export artifact.
+
+    Drop-in for the surface the demos use from ``DemoModel`` —
+    ``predict`` / ``predict_dual`` / ``_infer`` / ``image_size`` /
+    ``hand_faces`` / ``obj_faces`` — but built from the serialized
+    StableHLO (weights baked in) + its ``.meta.json`` sidecar, so startup
+    skips checkpoint restore, model construction, AND the trace/compile of
+    a fresh jit (the reference's demos re-instantiate torch from opt.pkl
+    every launch, image_demo.py:54-56).  Attention maps need encoder
+    intermediates that the artifact does not expose; callers degrade.
+    """
+
+    def __init__(self, path: str):
+        meta_path = path + ".meta.json"
+        if not os.path.exists(meta_path):
+            raise FileNotFoundError(
+                f"{meta_path} not found: --from_export needs the sidecar "
+                "cli.export writes next to the artifact (re-export with a "
+                "current cli.export)"
+            )
+        import numpy as np
+
+        with open(meta_path) as f:
+            meta = json.load(f)
+        self.image_size = int(meta["image_size"])
+        self.batch = meta.get("batch", "symbolic")
+        self.hand_faces = np.asarray(meta["hand_faces"], np.int32)
+        self.obj_faces = np.asarray(meta["obj_faces"], np.int32)
+        serve = load_exported(path)
+        # _variables is a placeholder so ``model._infer(model._variables,
+        # frames, sides, flip)`` call sites work unchanged for both classes.
+        self._variables = None
+        self._infer = lambda _variables, frames, sides, flip: serve(
+            frames, sides, flip
+        )
+
+    # predict/predict_dual only touch self._infer/_variables, so the
+    # DemoModel implementations (incl. the batched-input misuse guard)
+    # apply verbatim — bound lazily to avoid importing the full model
+    # stack when only export/load is used.
+    def predict(self, frame, hand_side: str = "left", flip: bool = False):
+        from obman_train_tpu.demo.inference import DemoModel
+
+        return DemoModel.predict(self, frame, hand_side=hand_side, flip=flip)
+
+    def predict_dual(self, frame, hand_side: str = "left"):
+        from obman_train_tpu.demo.inference import DemoModel
+
+        return DemoModel.predict_dual(self, frame, hand_side=hand_side)

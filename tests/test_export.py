@@ -58,6 +58,75 @@ def test_export_symbolic_batch_roundtrip(demo_model, rng, tmp_path):
         _call_both(demo_model, serve, batch, rng)
 
 
+def test_exported_model_serves_demos(demo_model, rng, tmp_path):
+    """ExportedModel (artifact + .meta.json sidecar) stands in for
+    DemoModel in the demos: same predict/predict_dual outputs, faces and
+    image size recovered without checkpoint/config/MANO assets, and both
+    demo CLIs run end-to-end with --from_export."""
+    from obman_train_tpu.demo.export import ExportedModel, export_model
+
+    path = str(tmp_path / "model.jaxexp")
+    export_model(demo_model, path)
+
+    model = ExportedModel(path)
+    assert model.image_size == demo_model.image_size
+    np.testing.assert_array_equal(model.hand_faces, demo_model.hand_faces)
+    np.testing.assert_array_equal(model.obj_faces, demo_model.obj_faces)
+
+    frame = rng.integers(0, 255, (64, 64, 3)).astype(np.uint8)
+    live = demo_model.predict_dual(frame)
+    served = model.predict_dual(frame)
+    assert sorted(served) == sorted(live)
+    for k in live:
+        np.testing.assert_allclose(
+            served[k], live[k], rtol=1e-5, atol=2e-3, err_msg=k
+        )
+    # the misuse guard travels with the borrowed method
+    with pytest.raises(ValueError, match="ONE"):
+        model.predict(frame[None])
+
+    from PIL import Image
+
+    img_path = str(tmp_path / "in.png")
+    Image.fromarray(frame).save(img_path)
+    out_png = str(tmp_path / "out.png")
+    from obman_train_tpu.cli import image_demo
+
+    image_demo.main(
+        ["--image", img_path, "--from_export", path, "--output", out_png]
+    )
+    assert np.asarray(Image.open(out_png)).size > 0
+
+    frames_dir = tmp_path / "frames"
+    frames_dir.mkdir()
+    for i in range(3):
+        Image.fromarray(
+            rng.integers(0, 255, (64, 64, 3)).astype(np.uint8)
+        ).save(str(frames_dir / f"f{i}.png"))
+    from obman_train_tpu.cli import video_demo
+
+    out_dir = tmp_path / "vid_out"
+    with pytest.warns(UserWarning, match="attention"):
+        video_demo.main(
+            ["--frames_dir", str(frames_dir), "--from_export", path,
+             "--out_dir", str(out_dir), "--batch", "2", "--attention"]
+        )
+    assert len(list(out_dir.glob("*.npz"))) == 3
+
+
+def test_exported_model_missing_sidecar_errors(demo_model, tmp_path):
+    """A bare artifact without the sidecar must fail fast with the
+    re-export hint, not an opaque KeyError later."""
+    from obman_train_tpu.demo.export import ExportedModel, export_model
+    import os
+
+    path = str(tmp_path / "model.jaxexp")
+    export_model(demo_model, path)
+    os.remove(path + ".meta.json")
+    with pytest.raises(FileNotFoundError, match="meta.json"):
+        ExportedModel(path)
+
+
 def test_export_static_batch(demo_model, rng, tmp_path):
     from obman_train_tpu.demo.export import export_model, load_exported
 
