@@ -193,10 +193,11 @@ def _pallas_min_sqdists_bwd(res, g):
     x, y, argx, argy = res
     g_minx, g_miny = g
     in_dtypes = (x.dtype, y.dtype)
-    # accumulate in f32 regardless of the (possibly bf16) primal dtype
-    x, y = x.astype(jnp.float32), y.astype(jnp.float32)
-    g_minx = g_minx.astype(jnp.float32)
-    g_miny = g_miny.astype(jnp.float32)
+    # accumulate in at least f32 (bf16 primals upcast; f64 goldens stay f64)
+    acc = jnp.promote_types(jnp.result_type(x.dtype, y.dtype), jnp.float32)
+    x, y = x.astype(acc), y.astype(acc)
+    g_minx = g_minx.astype(acc)
+    g_miny = g_miny.astype(acc)
     # d/dx_i |x_i - y_{j*}|^2 = 2 (x_i - y_{j*});  y_{j*} gets the negative.
     y_sel = jnp.take_along_axis(y, argx[..., None], axis=1)     # (B, N, 3)
     dx_pairs = 2.0 * (x - y_sel) * g_minx[..., None]
@@ -243,6 +244,41 @@ _pallas_min_sqdists_argmin.defvjp(
 )
 
 
+@jax.custom_vjp
+def _plane_min_scatter(x: jnp.ndarray, y: jnp.ndarray):
+    """Parity-plane bidirectional mins with an O(BN+BM) scatter backward.
+
+    Forward values are bit-identical to the plain ``rx + ry - 2xy`` plane
+    path (same plane, same ``jnp.min``).  The backward routes each min's
+    cotangent through its selected nearest pair as ``2 (x_i - y_{j*})`` —
+    algebraically the same subgradient XLA derives by masking the (B, N, M)
+    plane, computed WITHOUT touching the plane again.  At the reference
+    atlas shape (B=256, 600x642) the plane backward costs ~10.2 ms vs
+    ~3.8 ms for the scatter form (chamfer_tuning.json), and the train step
+    runs two chamfer losses (centered + final, models/losses.py), so this
+    is the default backward for ``chamfer_loss``'s XLA path.
+
+    Returns ``(min_x2y (B, N), min_y2x (B, M))``.  Argmins are computed in
+    the same reduce pass and kept only as VJP residuals; under pure
+    inference (no AD) the un-taken ``fwd`` never runs and XLA sees only the
+    two min-reductions.
+    """
+    d = batch_pairwise_sqdist(x, y)
+    return jnp.min(d, axis=2), jnp.min(d, axis=1)
+
+
+def _plane_min_scatter_fwd(x, y):
+    d = batch_pairwise_sqdist(x, y)
+    minx = jnp.min(d, axis=2)
+    miny = jnp.min(d, axis=1)
+    argx = jnp.argmin(d, axis=2)
+    argy = jnp.argmin(d, axis=1)
+    return (minx, miny), (x, y, argx, argy)
+
+
+_plane_min_scatter.defvjp(_plane_min_scatter_fwd, _pallas_min_sqdists_bwd)
+
+
 def min_sqdist_to(x: jnp.ndarray, y: jnp.ndarray, use_pallas="auto",
                   plane_dtype=None):
     """Per-x min squared distance to ``y`` (B, N) — metric-only: inputs are
@@ -286,9 +322,11 @@ def chamfer_loss(preds: jnp.ndarray, gts: jnp.ndarray, use_pallas="auto",
             gts, preds, plane_dtype
         )
         return jnp.mean(min_pred2gt, axis=1), jnp.mean(min_gt2pred, axis=1)
-    d = batch_pairwise_sqdist(gts, preds)  # (B, M, N): P[b, i, j] = |gt_i - pred_j|^2
-    loss_1 = jnp.mean(jnp.min(d, axis=1), axis=1)  # per-pred mins
-    loss_2 = jnp.mean(jnp.min(d, axis=2), axis=1)  # per-gt mins
+    # Same plane/min forward as the reference, scatter-form backward
+    # (_plane_min_scatter): d[b, i, j] = |gt_i - pred_j|^2.
+    min_gt2pred, min_pred2gt = _plane_min_scatter(gts, preds)
+    loss_1 = jnp.mean(min_pred2gt, axis=1)  # per-pred mins
+    loss_2 = jnp.mean(min_gt2pred, axis=1)  # per-gt mins
     return loss_1, loss_2
 
 
