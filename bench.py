@@ -318,15 +318,18 @@ def main():
     )
     f32_out = jfn(ho_variables, frames, sides)
 
-    # 2b) batch-1 latency on the headline config, decomposed into device
-    # compute vs transport (tunnel RTT + h2d/d2h + dispatch overhead).
-    # "pipelined" is _timeit's overlapped per-call time (throughput view);
-    # "request" blocks on a host-read scalar EVERY call (true latency —
-    # block_until_ready alone can return early on the tunnel); "null" runs
-    # a trivial kernel over the SAME INPUT shapes but returns a scalar,
-    # and BOTH readers pull only one scalar to the host — so the split
-    # isolates h2d + dispatch + RTT as "transport" and excludes d2h of
-    # the real output tree from both sides; device_ms ≈ request − null.
+    # 2b) batch-1 latency on the headline config.  device_ms is measured
+    # DIRECTLY with a delta-K dependency chain: one jitted executable runs
+    # K batch-1 forwards serialized inside a lax.scan (each iteration's
+    # image depends on the previous output through a numerically-absorbed
+    # +carry*1e-30 term, so XLA cannot overlap or elide iterations) and
+    # returns one scalar.  Both the K=1 and K=1+CHAIN executables have
+    # IDENTICAL I/O (same input shapes, one scalar out), so the tunnel RTT
+    # + h2d + dispatch cost cancels exactly in the difference:
+    #   device_ms = (t(1+CHAIN) - t(1)) / CHAIN.
+    # This replaces the old request-minus-null subtraction, which tried to
+    # resolve ~1 ms of device time from the difference of two noisy ~25 ms
+    # tunnel round trips and swung 6x between runs.
     frame1 = frames[:1]
     side1 = sides[:1]
     dt1 = _timeit(jfn, (ho_variables, frame1, side1))
@@ -342,16 +345,43 @@ def main():
             _read(fn(*args))
         return (time.perf_counter() - t0) / iters
 
-    null_fn = jax.jit(
-        lambda f, s: (f[0, :2, :2].astype(jnp.float32).sum() + s[0],)
-    )
-    null_ms = _request_lat(null_fn, (frame1, side1)) * 1e3
+    def make_chain(k):
+        def fn(variables, frames, sides):
+            base = frames.astype(jnp.float32) / 255.0 - 0.5
+
+            def body(carry, _):
+                _, res, _ = net.apply(
+                    variables,
+                    {"images": base + carry, "sides": sides}, infer_spec,
+                    no_loss=True, force_hand=True, force_objects=True,
+                )
+                # ~1e-25 against image values ~0.5: bit-identical images,
+                # but a real data dependency XLA cannot fold away
+                return (jnp.sum(res["verts"]) + jnp.sum(res["joints"])) * 1e-30, ()
+
+            carry, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=k)
+            return carry
+        return jax.jit(fn)
+
+    chain = max(4, min(32, BENCH_ITERS))
+    fn_1 = make_chain(1)
+    fn_k = make_chain(1 + chain)
+    chain_args = (ho_variables, frame1, side1)
+    device_runs = []
+    for _ in range(3):
+        t_1 = _request_lat(fn_1, chain_args)
+        t_k = _request_lat(fn_k, chain_args)
+        device_runs.append((t_k - t_1) / chain * 1e3)
+    device_ms = float(np.median(device_runs))
     req_ms = _request_lat(jfn, (ho_variables, frame1, side1)) * 1e3
     results["single_frame_latency"] = {
         "latency_ms": dt1 * 1e3, "fps": 1.0 / dt1, "batch": 1,
         "request_ms": req_ms,
-        "transport_ms": null_ms,
-        "device_ms": max(req_ms - null_ms, 0.0),
+        "device_ms": device_ms,
+        "device_ms_runs": [round(r, 4) for r in device_runs],
+        "device_fps": 1e3 / device_ms if device_ms > 0 else None,
+        "transport_ms": max(req_ms - device_ms, 0.0),
+        "chain_len": chain,
     }
 
     # 2c) bfloat16 encoder path: same (f32) params, bf16 compute
@@ -521,6 +551,51 @@ def main():
             "host_cores": host_cores,
             "samples_per_sec_per_core": n / dt / host_cores,
         }
+
+    # 7b) host input pipeline over a REAL on-disk ObMan-layout tree
+    # (data/fabricate.py): JPEG decode + meta-pickle read + crop/warp/jitter
+    # — the synthetic entries above fake the decode cost, this one pays it
+    # (reference hot path: handobjectdatasets/handataset.py:104-413).  The
+    # tree is fabricated once and reused across runs (keyed by size).
+    decode_n = int(os.environ.get("OBMAN_BENCH_DECODE_SAMPLES",
+                                  min(2048, 4 * BENCH_PIPELINE_SIZE)))
+    try:
+        import cv2  # noqa: F401  (fabrication + decode need cv2)
+
+        from obman_train_tpu.data.fabricate import fabricate_obman
+
+        tree_root = os.path.join(
+            os.environ.get("TMPDIR", "/tmp"),
+            f"obman_bench_tree_{decode_n}",
+        )
+        marker = os.path.join(tree_root, ".complete")
+        if not os.path.exists(marker):
+            fabricate_obman(tree_root, decode_n)
+            with open(marker, "w") as f:
+                f.write(str(decode_n))
+        ds = get_dataset(
+            "obman", "train",
+            meta={"obman_root": os.path.join(tree_root, "obman"),
+                  "shapenet_root": os.path.join(tree_root, "shapenet")},
+            device_augment=True,
+        )
+        loader = BatchLoader(ds, batch_size=pipe_batch, num_workers=8, seed=0)
+        for batch in loader:  # warmup epoch (imports, page cache, pools)
+            pass
+        n = 0
+        t0 = time.perf_counter()
+        for batch in loader:
+            n += batch["images"].shape[0]
+        dt = time.perf_counter() - t0
+        results["input_pipeline_real_decode"] = {
+            "samples_per_sec": n / dt, "workers": 8, "batch": pipe_batch,
+            "samples": n, "host_cores": host_cores,
+            "samples_per_sec_per_core": n / dt / host_cores,
+            "note": "real JPEG decode from disk (fabricated ObMan tree), "
+                    "device_augment host path",
+        }
+    except Exception as e:  # cv2 absent or disk-constrained image: skip
+        results["input_pipeline_real_decode"] = {"skipped": str(e)}
 
     # 8) end-to-end training throughput: host loader feeding the device
     #    step, losses read one step behind so host batch prep overlaps
