@@ -48,6 +48,15 @@ def _build_parser(suppress_defaults: bool = False) -> argparse.ArgumentParser:
     parser.add_argument("--atlas_resume_remap", action="store_true",
                         default=d(False),
                         help="remap base_net.* to atlas_base_net.*")
+    parser.add_argument("--imagenet_encoder", action="store_true",
+                        default=d(False),
+                        help="the checkpoint is a BARE torchvision ResNet "
+                        "state_dict (e.g. resnet18-5c106cde.pth): import it "
+                        "into the encoder(s) only, leave every branch at its "
+                        "fresh init — the reference's pretrained=True "
+                        "bootstrap (mano_train/networks/bases/resnet.py:"
+                        "191-224) for training from scratch here; resume the "
+                        "result with --resume")
     parser.add_argument("--validate", action="store_true", default=d(False),
                         help="after the import, run the torch model forward "
                         "and compare verts/joints against the flax forward "
@@ -62,6 +71,11 @@ def _build_parser(suppress_defaults: bool = False) -> argparse.ArgumentParser:
 
 def main(argv=None):
     args = _build_parser().parse_args(argv)
+    if args.validate and args.imagenet_encoder:
+        raise SystemExit(
+            "--validate re-runs the reference HandNet torch graph and does "
+            "not apply to a bare torchvision encoder import"
+        )
 
     import numpy as np
     import torch
@@ -71,7 +85,9 @@ def main(argv=None):
     apply_platform_override()
 
     opt_pkl = args.opt_pkl
-    if opt_pkl is None:
+    if args.imagenet_encoder:
+        opt_pkl = None  # a bare torchvision file has no opt.pkl semantics
+    elif opt_pkl is None:
         candidate = os.path.join(
             os.path.dirname(os.path.abspath(args.torch_checkpoint)), "opt.pkl"
         )
@@ -173,17 +189,43 @@ def main(argv=None):
                 if hasattr(v, "numpy")}
     epoch = int(payload.get("epoch", 0))
 
-    variables = import_torch_handnet(
-        state_np,
-        {"params": state.params, "batch_stats": state.batch_stats},
-        atlas_resume=args.atlas_resume_remap,
-    )
-    state = state._replace(
-        params=variables["params"], batch_stats=variables["batch_stats"]
-    )
-    path = save_checkpoint(args.exp_id, state, epoch, config=cfg)
-    print(f"Imported {len(state_np)} torch tensors from epoch {epoch} "
-          f"-> {path}")
+    if args.imagenet_encoder:
+        # Bare torchvision ResNet -> encoder(s) only; branches stay at
+        # their fresh init.  Matches the reference's pretrained=True model
+        # bootstrap (bases/resnet.py:191-224 via handnet.py:40-48), which
+        # loads the SAME ImageNet weights into every encoder it builds.
+        import flax
+
+        from obman_train_tpu.models.resnet import import_torch_state_dict
+        from obman_train_tpu.train.checkpoint import strip_module_prefix
+
+        tv_state = strip_module_prefix(state_np)
+        params = flax.core.unfreeze(state.params)
+        stats = flax.core.unfreeze(state.batch_stats)
+        encoders = [e for e in ("base_net", "atlas_base_net") if e in params]
+        for enc in encoders:
+            sub = {"params": params[enc], "batch_stats": stats.get(enc, {})}
+            imported = import_torch_state_dict(tv_state, sub, prefix="")
+            params[enc] = imported["params"]
+            if enc in stats:
+                stats[enc] = imported["batch_stats"]
+        state = state._replace(params=params, batch_stats=stats)
+        epoch = 0
+        path = save_checkpoint(args.exp_id, state, epoch, config=cfg)
+        print(f"Imported ImageNet encoder ({len(tv_state)} torch tensors) "
+              f"into {encoders} -> {path}")
+    else:
+        variables = import_torch_handnet(
+            state_np,
+            {"params": state.params, "batch_stats": state.batch_stats},
+            atlas_resume=args.atlas_resume_remap,
+        )
+        state = state._replace(
+            params=variables["params"], batch_stats=variables["batch_stats"]
+        )
+        path = save_checkpoint(args.exp_id, state, epoch, config=cfg)
+        print(f"Imported {len(state_np)} torch tensors from epoch {epoch} "
+              f"-> {path}")
     print(f"Use it with: --resume {args.exp_id} or DemoModel('{args.exp_id}')")
     if args.validate:
         _validate_import(args, cfg, net, state, state_dict)
