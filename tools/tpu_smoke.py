@@ -203,7 +203,10 @@ def main():
         assert bool(jnp.isfinite(o).all())
     dv = float(jnp.max(jnp.abs(out32[0] - out16[0].astype(jnp.float32))))
     do = float(jnp.max(jnp.abs(out32[2] - out16[2].astype(jnp.float32))))
-    assert dv < 0.1, f"bf16 verts delta {dv} mm"
+    # envelope for the realistic-mm synthetic hand (~200 mm span: bf16's
+    # ~0.4% resolution puts worst-case verts deltas near 1 mm; the measured
+    # delta is recorded in bench_details.json's hand_object_bf16 entry)
+    assert dv < 1.0, f"bf16 verts delta {dv} mm"
     assert do < 2.0, f"bf16 objpoints delta {do} mm"
     print(f"PASS 6: inference (bf16 deltas: verts {dv:.3f} mm, obj {do:.3f} mm)")
 
