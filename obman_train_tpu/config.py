@@ -146,10 +146,15 @@ class ModelConfig(JsonConfigMixin):
     compute_dtype: str = "float32"       # or "bfloat16" for the encoder path
     # Chamfer/contact nearest-neighbor selection-plane mode
     # (ops/chamfer.py::plane_dtype_for): "float32" = reference parity path
-    # (AD through the plane); "float32_select" = same f32 plane for
-    # SELECTION only, min values recomputed exactly from the selected
-    # pairs (backward never touches the plane); "bfloat16" = one-MXU-pass
-    # bf16 selection plane + exact f32 recompute (near-ties may flip).
+    # (f32 HIGHEST plane forward; scatter-form custom VJP backward, grads
+    # equal to AD-through-the-plane to float rounding); "float32_select" =
+    # same f32 plane for SELECTION only, min values recomputed exactly
+    # from the selected pairs (backward never touches the plane);
+    # "bfloat16" = one-MXU-pass bf16 selection plane + exact f32 recompute
+    # (near-ties may flip).  Measured verdict per point count:
+    # geometry_dtype_sweep.json (tools/geometry_dtype_sweep.py) — at the
+    # reference shapes (~600-700 points) the relaxed rungs are NOT faster;
+    # they exist for large-cloud regimes and are documented as such.
     geometry_dtype: str = "float32"
     # Cross-replica BN-stat sync for *unfrozen* BN. The reference
     # (DataParallel) never syncs BN stats, so default False; True requires

@@ -49,7 +49,10 @@ def chamfer_min_sqdist(
     sample, contactloss.py:164-166), where the per-example plane is small
     and the XLA path wins; large clouds auto-dispatch to the tiled Pallas
     kernel (O(BN+BM) memory in both the forward and the custom-VJP
-    backward).
+    backward).  The XLA path's backward is the scatter-form custom VJP
+    (``_plane_min_scatter_argmin``) — same forward plane/values, but
+    cotangents route through the argmin pairs instead of AD re-touching
+    the (B, N, M) plane.
 
     ``plane_dtype`` (e.g. ``jnp.bfloat16``) switches to the
     argmin-gather-recompute path: the (B, N, M) plane is computed in that
@@ -65,13 +68,7 @@ def chamfer_min_sqdist(
         return _pallas_min_sqdists_argmin(x, y)
     if plane_dtype is not None:
         return _argmin_recompute_min_sqdist(x, y, plane_dtype)
-    d = batch_pairwise_sqdist(x, y)
-    return (
-        jnp.min(d, axis=2),
-        jnp.argmin(d, axis=2),
-        jnp.min(d, axis=1),
-        jnp.argmin(d, axis=1),
-    )
+    return _plane_min_scatter_argmin(x, y)
 
 
 def _argmin_recompute_min_sqdist(x: jnp.ndarray, y: jnp.ndarray, plane_dtype):
@@ -277,6 +274,40 @@ def _plane_min_scatter_fwd(x, y):
 
 
 _plane_min_scatter.defvjp(_plane_min_scatter_fwd, _pallas_min_sqdists_bwd)
+
+
+@jax.custom_vjp
+def _plane_min_scatter_argmin(x: jnp.ndarray, y: jnp.ndarray):
+    """4-output (mins + argmins) XLA-plane path with the scatter backward.
+
+    Same forward as the plain plane path of ``chamfer_min_sqdist`` (one
+    (B, N, M) plane, ``jnp.min``/``jnp.argmin`` reduce passes — values
+    bit-identical), but the VJP routes each min's cotangent through its
+    argmin pair instead of AD re-touching the plane.  This is the contact
+    op's hot backward (778 hand verts x 642 object points per example,
+    contactloss.py:164-166): the plane AD backward measured ~9.7 ms inside
+    the bf16 train step (mfu_ablation.json: contact_op_grad) vs ~4.3 ms
+    for the scatter form at the same shape (chamfer_tuning.json).  The
+    integer argmin outputs carry zero cotangents.
+    """
+    d = batch_pairwise_sqdist(x, y)
+    return (
+        jnp.min(d, axis=2),
+        jnp.argmin(d, axis=2),
+        jnp.min(d, axis=1),
+        jnp.argmin(d, axis=1),
+    )
+
+
+def _plane_min_scatter_argmin_fwd(x, y):
+    out = _plane_min_scatter_argmin(x, y)
+    _minx, argx, _miny, argy = out
+    return out, (x, y, argx, argy)
+
+
+_plane_min_scatter_argmin.defvjp(
+    _plane_min_scatter_argmin_fwd, _pallas_min_sqdists_argmin_bwd
+)
 
 
 def min_sqdist_to(x: jnp.ndarray, y: jnp.ndarray, use_pallas="auto",

@@ -123,6 +123,42 @@ def test_chamfer_scatter_backward_matches_plane_ad(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+def test_min_sqdist_scatter_backward_matches_plane_ad(rng):
+    """chamfer_min_sqdist's XLA path (the contact op's hot backward) uses
+    _plane_min_scatter_argmin: mins/argmins bit-identical to the plain
+    plane reduces, gradients of a mins-consuming loss match AD through the
+    plane to float rounding — without re-touching the (B, N, M) plane."""
+    from obman_train_tpu.ops.chamfer import (
+        batch_pairwise_sqdist,
+        chamfer_min_sqdist,
+    )
+
+    x, y = _clouds(rng, b=2, n=778, m=642)
+
+    def new_loss(a, b):
+        minx, argx, miny, argy = chamfer_min_sqdist(a, b, use_pallas=False)
+        # contact-like consumption: thresholded mins on both directions
+        return jnp.mean(jnp.minimum(minx, 25.0)) + 2.0 * jnp.mean(
+            jnp.sqrt(miny + 1e-6)
+        )
+
+    def plane_ad_loss(a, b):
+        d = batch_pairwise_sqdist(a, b)
+        return jnp.mean(jnp.minimum(jnp.min(d, axis=2), 25.0)) + 2.0 * (
+            jnp.mean(jnp.sqrt(jnp.min(d, axis=1) + 1e-6))
+        )
+
+    minx, argx, miny, argy = chamfer_min_sqdist(x, y, use_pallas=False)
+    d = batch_pairwise_sqdist(x, y)
+    np.testing.assert_array_equal(np.asarray(argx), np.argmin(d, axis=2))
+    np.testing.assert_array_equal(np.asarray(argy), np.argmin(d, axis=1))
+    assert float(new_loss(x, y)) == float(plane_ad_loss(x, y))
+    g_new = jax.grad(new_loss, argnums=(0, 1))(x, y)
+    g_old = jax.grad(plane_ad_loss, argnums=(0, 1))(x, y)
+    for a, b in zip(g_new, g_old):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 def test_plane_dtype_for_mapping():
     from obman_train_tpu.ops.chamfer import plane_dtype_for
 

@@ -114,7 +114,11 @@ def main() -> int:
         "rows": rows,
         "win_regions_vs_float32": wins,
     }
-    with open(os.path.join(REPO, "geometry_dtype_sweep.json"), "w") as f:
+    # CPU smokes must not clobber the on-disk real-TPU numbers
+    name = ("geometry_dtype_sweep_cpu.json"
+            if os.environ.get("OBMAN_PLATFORM") == "cpu"
+            else "geometry_dtype_sweep.json")
+    with open(os.path.join(REPO, name), "w") as f:
         json.dump(out, f, indent=1)
     print("win regions (>3% faster than float32):", json.dumps(wins))
     return 0
