@@ -13,6 +13,7 @@ headline config, and writes all BASELINE.json benchmark configs to
   8. large-point Chamfer: XLA vs Pallas kernel at 16k x 16k
   9. host input pipeline (BatchLoader samples/sec)
  10. end-to-end training throughput (loader + device step overlapped)
+ 11. demo cold-start: live DemoModel vs --from_export, fresh process each
 
 Device configs carry an ``mfu_pct`` estimate (XLA cost-analysis FLOPs over
 the chip's dense bf16 peak).  Baseline target: >= 1000 frames/sec/chip on
@@ -648,6 +649,76 @@ def main():
                 "host-bound when device-only throughput exceeds "
                 "samples_per_sec (scale loader cores/hosts)",
     }
+
+    # 9) demo cold-start: live DemoModel (build net, restore, trace+compile
+    #    at first frame) vs --from_export (deserialize StableHLO, no model
+    #    code or trace).  Each path runs in a FRESH python process so jit
+    #    caches can't flatter either side; the child prints one JSON line.
+    #    The reference's demos always pay the full reload path
+    #    (image_demo.py:54-56 re-instantiates torch from opt.pkl).
+    import subprocess
+    import sys as _sys
+
+    coldstart_n = int(os.environ.get("OBMAN_BENCH_COLDSTART_FRAMES", 20))
+    child_preamble = (
+        "import time, json, os\n"
+        "t0 = time.perf_counter()\n"
+        "import numpy as np\n"
+        "import jax\n"
+        "if os.environ.get('OBMAN_BENCH_CPU'):\n"
+        "    jax.config.update('jax_platforms', 'cpu')\n"
+        f"SIZE = {S}\n"
+        f"N = {coldstart_n}\n"
+    )
+    child_epilogue = (
+        "frame = np.random.default_rng(0).integers("
+        "0, 255, (SIZE, SIZE, 3)).astype(np.uint8)\n"
+        "m.predict(frame)\n"
+        "t_first = time.perf_counter()\n"
+        "for _ in range(N):\n"
+        "    m.predict(frame)\n"
+        "t_steady = (time.perf_counter() - t_first) / N\n"
+        "print(json.dumps({'construct_s': round(t_ctor - t0, 2),\n"
+        "                  'first_frame_s': round(t_first - t_ctor, 2),\n"
+        "                  'steady_ms': round(t_steady * 1e3, 2)}))\n"
+    )
+    try:
+        from obman_train_tpu.config import ExperimentConfig
+        from obman_train_tpu.demo import DemoModel
+        from obman_train_tpu.demo.export import export_model
+
+        export_path = os.path.join(
+            os.environ.get("TMPDIR", "/tmp"), f"bench_coldstart_{S}.jaxexp"
+        )
+        export_model(
+            DemoModel(config=ExperimentConfig(), mano_assets="synthetic",
+                      image_size=S),
+            export_path,
+        )
+        live_src = child_preamble + (
+            "from obman_train_tpu.config import ExperimentConfig\n"
+            "from obman_train_tpu.demo import DemoModel\n"
+            "m = DemoModel(config=ExperimentConfig(),"
+            " mano_assets='synthetic', image_size=SIZE)\n"
+            "t_ctor = time.perf_counter()\n"
+        ) + child_epilogue
+        export_src = child_preamble + (
+            "from obman_train_tpu.demo.export import ExportedModel\n"
+            f"m = ExportedModel({export_path!r})\n"
+            "t_ctor = time.perf_counter()\n"
+        ) + child_epilogue
+        entry = {"frames": coldstart_n}
+        for name, src in (("live", live_src), ("from_export", export_src)):
+            out = subprocess.run(
+                [_sys.executable, "-c", src], capture_output=True, text=True,
+                timeout=1200, cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            if out.returncode != 0:
+                raise RuntimeError(f"{name} child failed: {out.stderr[-500:]}")
+            entry[name] = json.loads(out.stdout.strip().splitlines()[-1])
+        results["demo_coldstart"] = entry
+    except Exception as e:  # keep the bench robust on constrained hosts
+        results["demo_coldstart"] = {"skipped": str(e)}
 
     # CPU smokes must not clobber the on-disk real-TPU details file
     details_path = (
