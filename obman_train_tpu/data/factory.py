@@ -117,6 +117,14 @@ def get_dataset(
     queries = set(max_queries).intersection(set(pose_dataset.all_queries))
     if dat_name == "stereohands":
         max_rot, scale_jittering, center_jittering = np.pi, 0.2, 0.2
+    elif dat_name == "synthetic":
+        # Hermetic fixture: the only pose cue is the 21-dot constellation
+        # on a noise background.  Under the real-dataset regime (full +-pi
+        # in-plane rotation, 0.3/0.2 jitter) the from-scratch recipe is
+        # unlearnable at fixture scale (~1-2k samples), so convergence
+        # artifacts/tests would only ever measure noise; the fixture keeps
+        # every augmentation *path* active but at a learnable magnitude.
+        max_rot, scale_jittering, center_jittering = np.pi / 8, 0.1, 0.1
     else:
         max_rot, scale_jittering, center_jittering = np.pi, 0.3, 0.2
     dataset = HandDataset(
