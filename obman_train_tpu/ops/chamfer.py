@@ -15,8 +15,20 @@ without materializing the full (N, M) matrix in HBM; set
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
+
+# Backward form for the XLA (small-plane) path.  The scatter-form custom
+# VJP wins standalone (3.8-4.3 vs ~10 ms at the reference shapes,
+# chamfer_tuning.json) but LOSES inside the full compiled train step —
+# 66.5 vs 56.7 ms/step bf16, 88.0 vs 79.4 fp32 (chamfer_bwd_ab.json,
+# tools/chamfer_bwd_ab.py): XLA overlaps the plane re-touch with conv
+# scheduling but cannot hide the scatter's serialized HBM updates.  So
+# plain AD-through-the-plane is the default and the scatter form is an
+# opt-in for plane-dominated (geometry-heavy, small-encoder) workloads.
+_SCATTER_BWD = os.environ.get("OBMAN_SCATTER_BWD", "0") == "1"
 
 # Geometry parity requires full f32 accumulation: the default (TPU) matmul
 # precision is bf16-class and loses ~1e-2 on the rx+ry-2xy cancellation.
@@ -49,7 +61,9 @@ def chamfer_min_sqdist(
     sample, contactloss.py:164-166), where the per-example plane is small
     and the XLA path wins; large clouds auto-dispatch to the tiled Pallas
     kernel (O(BN+BM) memory in both the forward and the custom-VJP
-    backward).  The XLA path's backward is the scatter-form custom VJP
+    backward).  The XLA path's backward is plain AD through the plane
+    (in-context measurement, see ``_SCATTER_BWD``); ``OBMAN_SCATTER_BWD=1``
+    opts into the scatter-form custom VJP
     (``_plane_min_scatter_argmin``) — same forward plane/values, but
     cotangents route through the argmin pairs instead of AD re-touching
     the (B, N, M) plane.
@@ -68,7 +82,15 @@ def chamfer_min_sqdist(
         return _pallas_min_sqdists_argmin(x, y)
     if plane_dtype is not None:
         return _argmin_recompute_min_sqdist(x, y, plane_dtype)
-    return _plane_min_scatter_argmin(x, y)
+    if _SCATTER_BWD:
+        return _plane_min_scatter_argmin(x, y)
+    d = batch_pairwise_sqdist(x, y)
+    return (
+        jnp.min(d, axis=2),
+        jnp.argmin(d, axis=2),
+        jnp.min(d, axis=1),
+        jnp.argmin(d, axis=1),
+    )
 
 
 def _argmin_recompute_min_sqdist(x: jnp.ndarray, y: jnp.ndarray, plane_dtype):
@@ -251,9 +273,10 @@ def _plane_min_scatter(x: jnp.ndarray, y: jnp.ndarray):
     algebraically the same subgradient XLA derives by masking the (B, N, M)
     plane, computed WITHOUT touching the plane again.  At the reference
     atlas shape (B=256, 600x642) the plane backward costs ~10.2 ms vs
-    ~3.8 ms for the scatter form (chamfer_tuning.json), and the train step
-    runs two chamfer losses (centered + final, models/losses.py), so this
-    is the default backward for ``chamfer_loss``'s XLA path.
+    ~3.8 ms for the scatter form standalone (chamfer_tuning.json) — but
+    inside the full train step the scatter form LOSES by ~9 ms/step
+    (chamfer_bwd_ab.json), so this is the ``OBMAN_SCATTER_BWD=1`` opt-in,
+    not the default.
 
     Returns ``(min_x2y (B, N), min_y2x (B, M))``.  Argmins are computed in
     the same reduce pass and kept only as VJP residuals; under pure
@@ -283,12 +306,12 @@ def _plane_min_scatter_argmin(x: jnp.ndarray, y: jnp.ndarray):
     Same forward as the plain plane path of ``chamfer_min_sqdist`` (one
     (B, N, M) plane, ``jnp.min``/``jnp.argmin`` reduce passes — values
     bit-identical), but the VJP routes each min's cotangent through its
-    argmin pair instead of AD re-touching the plane.  This is the contact
-    op's hot backward (778 hand verts x 642 object points per example,
-    contactloss.py:164-166): the plane AD backward measured ~9.7 ms inside
-    the bf16 train step (mfu_ablation.json: contact_op_grad) vs ~4.3 ms
-    for the scatter form at the same shape (chamfer_tuning.json).  The
-    integer argmin outputs carry zero cotangents.
+    argmin pair instead of AD re-touching the plane.  Standalone this wins
+    at the contact shape (778 hand verts x 642 object points per example,
+    contactloss.py:164-166: ~4.3 vs ~9.7 ms, chamfer_tuning.json /
+    mfu_ablation.json) — but in the full compiled step it loses ~9 ms
+    (chamfer_bwd_ab.json), so it is the ``OBMAN_SCATTER_BWD=1`` opt-in,
+    not the default.  The integer argmin outputs carry zero cotangents.
     """
     d = batch_pairwise_sqdist(x, y)
     return (
@@ -353,9 +376,14 @@ def chamfer_loss(preds: jnp.ndarray, gts: jnp.ndarray, use_pallas="auto",
             gts, preds, plane_dtype
         )
         return jnp.mean(min_pred2gt, axis=1), jnp.mean(min_gt2pred, axis=1)
-    # Same plane/min forward as the reference, scatter-form backward
-    # (_plane_min_scatter): d[b, i, j] = |gt_i - pred_j|^2.
-    min_gt2pred, min_pred2gt = _plane_min_scatter(gts, preds)
+    # Same plane/min forward as the reference: d[b, i, j] = |gt_i - pred_j|^2.
+    # Backward form per _SCATTER_BWD (plane AD by default — in-context win).
+    if _SCATTER_BWD:
+        min_gt2pred, min_pred2gt = _plane_min_scatter(gts, preds)
+    else:
+        d = batch_pairwise_sqdist(gts, preds)
+        min_gt2pred = jnp.min(d, axis=2)
+        min_pred2gt = jnp.min(d, axis=1)
     loss_1 = jnp.mean(min_pred2gt, axis=1)  # per-pred mins
     loss_2 = jnp.mean(min_gt2pred, axis=1)  # per-gt mins
     return loss_1, loss_2

@@ -54,33 +54,20 @@ def main():
     gt = bench.make_synthetic_gt(B, S)
     nets = bench._models()
 
-    scatter_2 = ch._plane_min_scatter
-    scatter_4 = ch._plane_min_scatter_argmin
-
-    def plane_ad_2(x, y):
-        d = ch.batch_pairwise_sqdist(x, y)
-        return jnp.min(d, axis=2), jnp.min(d, axis=1)
-
-    def plane_ad_4(x, y):
-        d = ch.batch_pairwise_sqdist(x, y)
-        return (
-            jnp.min(d, axis=2),
-            jnp.argmin(d, axis=2),
-            jnp.min(d, axis=1),
-            jnp.argmin(d, axis=1),
-        )
+    shipped_default = ch._SCATTER_BWD
 
     def build(net, use_scatter):
-        ch._plane_min_scatter = scatter_2 if use_scatter else plane_ad_2
-        ch._plane_min_scatter_argmin = scatter_4 if use_scatter else plane_ad_4
+        # The call sites branch on the module-level _SCATTER_BWD at trace
+        # time (ops/chamfer.py), so flipping it before the compile selects
+        # the backward form for this arm.
+        ch._SCATTER_BWD = use_scatter
         try:
             step, state, key = bench.build_train(net, gt, donate=False)
             state, losses = step(state, gt, key)  # compile under the patch
             float(losses["total_loss"])
             return [step, state, key]
         finally:
-            ch._plane_min_scatter = scatter_2
-            ch._plane_min_scatter_argmin = scatter_4
+            ch._SCATTER_BWD = shipped_default
 
     results = {"batch": B, "size": S, "iters": iters}
     for rung in ("contact_bf16", "contact"):
