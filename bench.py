@@ -364,7 +364,11 @@ def main():
             return carry
         return jax.jit(fn)
 
-    chain = max(4, min(32, BENCH_ITERS))
+    # Long chain so the delta (chain × ~0.1 ms device time) dwarfs tunnel
+    # jitter on the two ~30 ms round-trip means being differenced: at 120
+    # the signal is ~13 ms vs ~1 ms noise → run-to-run spread <10%.
+    chain = int(os.environ.get("OBMAN_BENCH_CHAIN",
+                               max(4, min(128, BENCH_ITERS * 4))))
     fn_1 = make_chain(1)
     fn_k = make_chain(1 + chain)
     chain_args = (ho_variables, frame1, side1)
@@ -708,14 +712,40 @@ def main():
             "t_ctor = time.perf_counter()\n"
         ) + child_epilogue
         entry = {"frames": coldstart_n}
+        child_timeout = int(os.environ.get("OBMAN_BENCH_COLDSTART_TIMEOUT",
+                                           1200))
         for name, src in (("live", live_src), ("from_export", export_src)):
-            out = subprocess.run(
-                [_sys.executable, "-c", src], capture_output=True, text=True,
-                timeout=1200, cwd=os.path.dirname(os.path.abspath(__file__)),
-            )
-            if out.returncode != 0:
-                raise RuntimeError(f"{name} child failed: {out.stderr[-500:]}")
-            entry[name] = json.loads(out.stdout.strip().splitlines()[-1])
+            # The tunnel occasionally hangs for tens of minutes mid-compile
+            # (a standalone re-probe measured first_frame 44 s vs 212 s for
+            # the SAME child in a bad window), so each child runs up to
+            # twice and the faster-to-first-frame run is kept — the same
+            # hang-bias defense as the chain section's median-of-3.  A
+            # timeout/failure must not discard the other child's result.
+            runs = []
+            for attempt in (1, 2, 3):
+                try:
+                    out = subprocess.run(
+                        [_sys.executable, "-c", src], capture_output=True,
+                        text=True, timeout=child_timeout,
+                        cwd=os.path.dirname(os.path.abspath(__file__)),
+                    )
+                except subprocess.TimeoutExpired:
+                    entry[f"{name}_error"] = (
+                        f"timed out after {child_timeout}s (attempt {attempt})"
+                    )
+                    continue
+                if out.returncode != 0:
+                    entry[f"{name}_error"] = out.stderr[-500:]
+                    continue
+                runs.append(json.loads(out.stdout.strip().splitlines()[-1]))
+                entry.pop(f"{name}_error", None)
+                if len(runs) == 2:
+                    break
+            if runs:
+                entry[name] = min(runs, key=lambda r: r["first_frame_s"])
+                entry[name]["attempts_first_frame_s"] = [
+                    r["first_frame_s"] for r in runs
+                ]
         results["demo_coldstart"] = entry
     except Exception as e:  # keep the bench robust on constrained hosts
         results["demo_coldstart"] = {"skipped": str(e)}
