@@ -33,8 +33,13 @@ def main(argv=None):
     from PIL import Image
 
     from obman_train_tpu.cli import apply_platform_override
+    from obman_train_tpu.utils.compcache import enable_persistent_cache
 
     apply_platform_override()
+    # Fresh-process first-frame is compile-dominated (200+ s measured on
+    # the tunneled TPU); the persistent cache makes every process after
+    # the first skip it.  OBMAN_COMPCACHE=0 disables.
+    enable_persistent_cache()
 
     if args.from_export is not None:
         from obman_train_tpu.demo.export import ExportedModel

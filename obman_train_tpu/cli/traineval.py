@@ -156,6 +156,11 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--profile_dir", default=None,
                    help="write a JAX profiler trace of the first train "
                         "epoch to this directory")
+    e.add_argument("--compilation_cache", action="store_true",
+                   help="enable JAX's persistent compilation cache "
+                        "(~/.cache/obman_train_tpu/jax_cache, override "
+                        "with OBMAN_COMPCACHE_DIR) so restarted runs skip "
+                        "recompiles; the demo CLIs enable it by default")
     e.add_argument("--mano_assets", default="misc/mano",
                    help="dir with MANO_{LEFT,RIGHT}.{pkl,npz}; 'synthetic' "
                         "uses the test-only synthetic MANO model")
@@ -324,6 +329,11 @@ def main(argv=None):
     # backend (tests/test_distributed.py; same sitecustomize trap as
     # bench.py's OBMAN_BENCH_CPU — see cli/__init__.py).
     apply_platform_override()
+
+    if args.compilation_cache:
+        from obman_train_tpu.utils.compcache import enable_persistent_cache
+
+        enable_persistent_cache()
 
     if args.distributed:
         # CPU multi-process runs need a cross-process collectives backend;

@@ -72,8 +72,13 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     from obman_train_tpu.cli import apply_platform_override
+    from obman_train_tpu.utils.compcache import enable_persistent_cache
 
     apply_platform_override()
+    # Fresh-process first-frame is compile-dominated (200+ s measured on
+    # the tunneled TPU); the persistent cache makes every process after
+    # the first skip it.  OBMAN_COMPCACHE=0 disables.
+    enable_persistent_cache()
 
     display = _LiveDisplay() if args.show else None
 

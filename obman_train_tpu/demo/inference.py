@@ -139,8 +139,15 @@ class DemoModel:
     def predict(
         self, frame: np.ndarray, hand_side: str = "left", flip: bool = False
     ):
-        """Single frame (H, W, 3) uint8 -> results dict (batch dim 1)."""
-        import jax.numpy as jnp
+        """Single frame (H, W, 3) uint8 -> results dict (batch dim 1).
+
+        Transfers are batched: ONE ``jax.device_put`` of the input tree and
+        ONE ``jax.device_get`` of the output tree (async copies first).  The
+        per-leaf ``jnp.asarray``/``np.asarray`` form this replaces cost a
+        device sync per array — ~45 ms per leaf through the tunneled TPU,
+        ~90 ms/frame for this call's 3-in/6-out trees (CLAUDE.md transfer
+        note; bench_details.json: demo_coldstart steady_ms before/after)."""
+        import jax
 
         if np.ndim(frame) != 3:
             raise ValueError(
@@ -149,37 +156,43 @@ class DemoModel:
                 f"frame or model._infer directly"
             )
 
-        frames = jnp.asarray(frame[None])
-        sides = jnp.asarray([0 if hand_side == "right" else 1], np.int32)
-        out = self._infer(
-            self._variables, frames, sides, jnp.asarray([flip])
-        )
-        return {k: np.asarray(v) for k, v in out.items()}
+        frames, sides, flips = jax.device_put((
+            np.ascontiguousarray(frame[None]),
+            np.asarray([0 if hand_side == "right" else 1], np.int32),
+            np.asarray([flip], bool),
+        ))
+        out = self._infer(self._variables, frames, sides, flips)
+        return jax.device_get(out)
 
     def attention_maps(self, frames: np.ndarray) -> np.ndarray:
         """(B, H, W, 3) uint8 frames -> (B, size, size) attention in [0, 1]
         (the webcam demo's activation heatmaps, webcam_demo.py:90-131)."""
-        import jax.numpy as jnp
+        import jax
 
         from obman_train_tpu.demo.attention import stage_attention
 
-        inters = self._encoder_inters(self._variables, jnp.asarray(frames))
+        inters = self._encoder_inters(
+            self._variables, jax.device_put(np.ascontiguousarray(frames))
+        )
         return stage_attention(
-            [np.asarray(i) for i in inters],
+            jax.device_get(list(inters)),
             (self.image_size, self.image_size),
         )
 
     def predict_dual(self, frame: np.ndarray, hand_side: str = "left"):
         """The image_demo path: original + horizontally flipped frame in one
-        batch of 2 (flipped input treated as the opposite side)."""
-        import jax.numpy as jnp
+        batch of 2 (flipped input treated as the opposite side).  Same
+        one-put/one-get transfer batching as :meth:`predict`."""
+        import jax
 
         side_idx = 0 if hand_side == "right" else 1
-        frames = jnp.asarray(np.stack([frame, frame]))
-        sides = jnp.asarray([side_idx, 1 - side_idx], np.int32)
-        flips = jnp.asarray([False, True])
+        frames, sides, flips = jax.device_put((
+            np.stack([frame, frame]),
+            np.asarray([side_idx, 1 - side_idx], np.int32),
+            np.asarray([False, True]),
+        ))
         out = self._infer(self._variables, frames, sides, flips)
-        return {k: np.asarray(v) for k, v in out.items()}
+        return jax.device_get(out)
 
 
 def _load_faces(mano_dir: str):
