@@ -1,19 +1,33 @@
 """Headline benchmark: single-frame RGB -> hand+object mesh inference.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} for the
-headline config, and writes all BASELINE.json benchmark configs to
-``bench_details.json``:
-  1. hands-only (ResNet-18 + MANO branch)
-  2. hand+object with trans/scale heads            <- headline
-  3. contact-aware inference (contact+collision losses live)
-  4. streaming dual flipped-input pipeline (batch of 2 per frame)
-  5. full training step (fwd+bwd+adam, all losses; donated, chained)
-  6. single-frame (batch-1) latency
-  7. bfloat16 encoder path (+ numeric delta vs f32)
+headline config — printed and flushed THE MOMENT the headline stage
+completes (round 4's driver run timed out in a later stage and recorded no
+number at all; the headline must survive any tunnel hang after it).  All
+BASELINE.json benchmark configs go to ``bench_details.json``, written
+incrementally (atomic replace) after every stage:
+
+  1. hand+object with trans/scale heads             <- headline, runs FIRST
+  2. hands-only (ResNet-18 + MANO branch)
+  3. bfloat16 encoder path (+ numeric delta vs f32)
+  4. single-frame (batch-1) latency, interleaved delta-K chain
+  5. contact-aware inference (contact+collision losses live)
+  6. streaming dual flipped-input pipeline (batch of 2 per frame)
+  7. full training step (fwd+bwd+adam, all losses; donated, chained)
+     + --geometry_dtype rungs
   8. large-point Chamfer: XLA vs Pallas kernel at 16k x 16k
-  9. host input pipeline (BatchLoader samples/sec)
+  9. host input pipeline (BatchLoader samples/sec, incl. real JPEG decode)
  10. end-to-end training throughput (loader + device step overlapped)
- 11. demo cold-start: live DemoModel vs --from_export, fresh process each
+ 11. demo cold-start: live DemoModel vs --from_export, fresh process each,
+     cold and warm persistent-compilation-cache variants
+
+A global wall-clock budget (OBMAN_BENCH_BUDGET_S, default 1500 s) gates
+every stage: once exhausted, remaining stages record {"skipped": ...} and
+the run ends with whatever it measured — a partial details file is valid.
+Per-stage exceptions are recorded as {"error": ...} without losing prior
+stages.  On a complete real-TPU run the README perf block is re-rendered
+from the fresh details (tools/render_readme_perf.py) so doc and artifact
+move atomically.
 
 Device configs carry an ``mfu_pct`` estimate (XLA cost-analysis FLOPs over
 the chip's dense bf16 peak).  Baseline target: >= 1000 frames/sec/chip on
@@ -22,9 +36,14 @@ TPU v5e (BASELINE.md).  Raw uint8 frames; preprocessing fused on device.
 
 import json
 import os
+import shutil
+import subprocess
+import sys
 import time
 
 import numpy as np
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
 
 BASELINE_FPS = 1000.0
 # Overridable for CPU smoke tests (driver runs defaults on TPU).
@@ -34,6 +53,7 @@ BENCH_ITERS = int(os.environ.get("OBMAN_BENCH_ITERS", 30))
 BENCH_STREAM_BATCH = int(os.environ.get("OBMAN_BENCH_STREAM_BATCH", 64))
 BENCH_CHAMFER_N = int(os.environ.get("OBMAN_BENCH_CHAMFER_N", 16384))
 BENCH_PIPELINE_SIZE = int(os.environ.get("OBMAN_BENCH_PIPELINE_SIZE", 1024))
+BENCH_BUDGET_S = float(os.environ.get("OBMAN_BENCH_BUDGET_S", 1500))
 
 # Dense bf16 matmul peak per chip (FLOP/s) for the MFU estimate.
 _PEAK_BF16 = {
@@ -246,6 +266,16 @@ def main():
         # this process's env is consulted, so CPU smokes must re-pin via
         # the config API before first device use.
         jax.config.update("jax_platforms", "cpu")
+
+    # The parent's own compiles (~15 executables, the bulk of a cold run's
+    # wall clock) go through the persistent compilation cache; no measured
+    # number includes compile time (every window is warmed first), so this
+    # only makes the harness itself faster/less likely to blow the budget.
+    # The cold-start children below get their OWN cache dir, wiped first.
+    from obman_train_tpu.utils.compcache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     import jax.numpy as jnp
 
     from obman_train_tpu.config import TrainConfig
@@ -256,20 +286,89 @@ def main():
         make_train_step,
     )
 
+    t_start = time.monotonic()
+    results = {}
+    stage_wall = {}
+    ctx = {}
+    details_path = os.path.join(
+        _REPO,
+        "bench_details_cpu.json" if os.environ.get("OBMAN_BENCH_CPU")
+        else "bench_details.json",
+    )
+
     peak = _peak_flops(jax.devices()[0])
+    nets = _models()
+    B, S = BENCH_BATCH, BENCH_SIZE
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(rng.integers(0, 256, (B, S, S, 3), dtype=np.uint8))
+    sides = jnp.asarray(rng.integers(0, 2, (B,)), jnp.int32)
+    gt = make_synthetic_gt(B, S)
+    spec = BatchSpec()
+
+    def elapsed():
+        return time.monotonic() - t_start
+
+    def remaining():
+        return BENCH_BUDGET_S - elapsed()
+
+    def save():
+        """Atomic incremental write: the details file on disk is valid
+        after every stage, even if the process is killed mid-run."""
+        payload = {
+            "device": str(jax.devices()[0]),
+            "image_size": S,
+            "budget_s": BENCH_BUDGET_S,
+            "wall_s": round(elapsed(), 1),
+            "stage_wall_s": {k: round(v, 1) for k, v in stage_wall.items()},
+            "results": {
+                k: {kk: (round(vv, 2) if isinstance(vv, float) else vv)
+                    for kk, vv in v.items()}
+                for k, v in results.items()
+            },
+        }
+        tmp = details_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(payload, f, indent=1)
+        os.replace(tmp, details_path)
+
+    def run_stage(fn, *keys):
+        """Budget-gated stage runner: a stage past the wall budget records
+        {"skipped"} per result key; a stage that raises records {"error"}
+        without losing anything already measured; the details file is
+        re-written after every stage either way."""
+        name = keys[0]
+        if remaining() <= 0:
+            for k in keys:
+                results.setdefault(k, {
+                    "skipped": f"wall budget exhausted "
+                               f"({int(BENCH_BUDGET_S)} s; raise "
+                               f"OBMAN_BENCH_BUDGET_S)"
+                })
+            save()
+            print(f"[bench {elapsed():5.0f}s] {name}: skipped (budget)",
+                  file=sys.stderr, flush=True)
+            return False
+        print(f"[bench {elapsed():5.0f}s] {name} ...",
+              file=sys.stderr, flush=True)
+        t0 = time.monotonic()
+        try:
+            fn()
+            ok = True
+        except Exception as e:  # a tunnel/compile failure in one stage
+            for k in keys:      # must not lose the other stages' numbers
+                results.setdefault(
+                    k, {"error": f"{type(e).__name__}: {e}"}
+                )
+            ok = False
+        stage_wall[name] = time.monotonic() - t0
+        save()
+        return ok
 
     def with_mfu(entry, jfn, args, dt):
         flops = _flops_of(jfn, args)
         if flops and peak:
             entry["mfu_pct"] = round(100.0 * flops / dt / peak, 2)
         return entry
-
-    nets = _models()
-    B, S = BENCH_BATCH, BENCH_SIZE
-    rng = np.random.default_rng(0)
-    frames = jnp.asarray(rng.integers(0, 256, (B, S, S, 3), dtype=np.uint8))
-    sides = jnp.asarray(rng.integers(0, 2, (B,)), jnp.int32)
-    results = {}
 
     def init_vars(net, batch, spec, **kw):
         return net.init(
@@ -293,178 +392,231 @@ def main():
             return tuple(res[k] for k in keep)
         return jax.jit(fn)
 
-    # 1) hands only
-    net = nets["hands_only"]
-    variables = init_vars(
-        net, {"images": jnp.zeros((B, S, S, 3), jnp.float32), "sides": sides},
-        infer_spec, no_loss=True, force_hand=True,
-    )
-    jfn = make_infer(net, False)
-    dt = _timeit(jfn, (variables, frames, sides))
-    results["hands_only_inference"] = with_mfu(
-        {"fps": B / dt, "batch": B}, jfn, (variables, frames, sides), dt
-    )
+    # 1) hand + object — the headline, measured FIRST and printed the
+    #    moment it exists so no later stage (or tunnel hang) can lose it.
+    def stage_headline():
+        net = nets["hand_object"]
+        ho_variables = init_vars(
+            net,
+            {"images": jnp.zeros((B, S, S, 3), jnp.float32), "sides": sides},
+            infer_spec, no_loss=True, force_hand=True, force_objects=True,
+        )
+        jfn = make_infer(net, True)
+        dt = _timeit(jfn, (ho_variables, frames, sides))
+        headline_fps = B / dt
+        results["hand_object_inference"] = with_mfu(
+            {"fps": headline_fps, "batch": B},
+            jfn, (ho_variables, frames, sides), dt,
+        )
+        ctx["ho_net"] = net
+        ctx["ho_variables"] = ho_variables
+        ctx["ho_jfn"] = jfn
+        ctx["f32_out"] = jfn(ho_variables, frames, sides)
+        # THE driver-parsed line: exactly one JSON line on stdout, flushed.
+        print(
+            json.dumps({
+                "metric": "rgb_to_hand_object_mesh_inference",
+                "value": round(headline_fps, 1),
+                "unit": "frames/sec/chip",
+                "vs_baseline": round(headline_fps / BASELINE_FPS, 3),
+            }),
+            flush=True,
+        )
 
-    # 2) hand + object (headline)
-    net = nets["hand_object"]
-    ho_variables = init_vars(
-        net, {"images": jnp.zeros((B, S, S, 3), jnp.float32), "sides": sides},
-        infer_spec, no_loss=True, force_hand=True, force_objects=True,
-    )
-    jfn = make_infer(net, True)
-    dt = _timeit(jfn, (ho_variables, frames, sides))
-    headline_fps = B / dt
-    results["hand_object_inference"] = with_mfu(
-        {"fps": headline_fps, "batch": B}, jfn, (ho_variables, frames, sides), dt
-    )
-    f32_out = jfn(ho_variables, frames, sides)
+    # 2) hands only
+    def stage_hands_only():
+        net = nets["hands_only"]
+        variables = init_vars(
+            net,
+            {"images": jnp.zeros((B, S, S, 3), jnp.float32), "sides": sides},
+            infer_spec, no_loss=True, force_hand=True,
+        )
+        jfn = make_infer(net, False)
+        dt = _timeit(jfn, (variables, frames, sides))
+        results["hands_only_inference"] = with_mfu(
+            {"fps": B / dt, "batch": B}, jfn, (variables, frames, sides), dt
+        )
 
-    # 2b) batch-1 latency on the headline config.  device_ms is measured
-    # DIRECTLY with a delta-K dependency chain: one jitted executable runs
-    # K batch-1 forwards serialized inside a lax.scan (each iteration's
-    # image depends on the previous output through a numerically-absorbed
-    # +carry*1e-30 term, so XLA cannot overlap or elide iterations) and
-    # returns one scalar.  Both the K=1 and K=1+CHAIN executables have
-    # IDENTICAL I/O (same input shapes, one scalar out), so the tunnel RTT
-    # + h2d + dispatch cost cancels exactly in the difference:
-    #   device_ms = (t(1+CHAIN) - t(1)) / CHAIN.
-    # This replaces the old request-minus-null subtraction, which tried to
-    # resolve ~1 ms of device time from the difference of two noisy ~25 ms
-    # tunnel round trips and swung 6x between runs.
-    frame1 = frames[:1]
-    side1 = sides[:1]
-    dt1 = _timeit(jfn, (ho_variables, frame1, side1))
-
-    def _request_lat(fn, args, iters=max(10, BENCH_ITERS)):
-        def _read(out):
-            return float(jnp.sum(jax.tree_util.tree_leaves(out)[0]))
-
-        for _ in range(iters):          # warm: fresh executables run slow
-            _read(fn(*args))
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            _read(fn(*args))
-        return (time.perf_counter() - t0) / iters
-
-    def make_chain(k):
-        def fn(variables, frames, sides):
-            base = frames.astype(jnp.float32) / 255.0 - 0.5
-
-            def body(carry, _):
-                _, res, _ = net.apply(
-                    variables,
-                    {"images": base + carry, "sides": sides}, infer_spec,
-                    no_loss=True, force_hand=True, force_objects=True,
-                )
-                # ~1e-25 against image values ~0.5: bit-identical images,
-                # but a real data dependency XLA cannot fold away
-                return (jnp.sum(res["verts"]) + jnp.sum(res["joints"])) * 1e-30, ()
-
-            carry, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=k)
-            return carry
-        return jax.jit(fn)
-
-    # Long chain so the delta (chain × ~0.1 ms device time) dwarfs tunnel
-    # jitter on the two ~30 ms round-trip means being differenced: at 120
-    # the signal is ~13 ms vs ~1 ms noise → run-to-run spread <10%.
-    chain = int(os.environ.get("OBMAN_BENCH_CHAIN",
-                               max(4, min(128, BENCH_ITERS * 4))))
-    fn_1 = make_chain(1)
-    fn_k = make_chain(1 + chain)
-    chain_args = (ho_variables, frame1, side1)
-    device_runs = []
-    for _ in range(3):
-        t_1 = _request_lat(fn_1, chain_args)
-        t_k = _request_lat(fn_k, chain_args)
-        device_runs.append((t_k - t_1) / chain * 1e3)
-    device_ms = float(np.median(device_runs))
-    req_ms = _request_lat(jfn, (ho_variables, frame1, side1)) * 1e3
-    results["single_frame_latency"] = {
-        "latency_ms": dt1 * 1e3, "fps": 1.0 / dt1, "batch": 1,
-        "request_ms": req_ms,
-        "device_ms": device_ms,
-        "device_ms_runs": [round(r, 4) for r in device_runs],
-        "device_fps": 1e3 / device_ms if device_ms > 0 else None,
-        "transport_ms": max(req_ms - device_ms, 0.0),
-        "chain_len": chain,
-    }
-
-    # 2c) bfloat16 encoder path: same (f32) params, bf16 compute
-    # (config.py compute_dtype="bfloat16"), plus numeric delta vs f32.
-    jfn_bf16 = make_infer(nets["hand_object_bf16"], True)
-    dt = _timeit(jfn_bf16, (ho_variables, frames, sides))
-    bf16_out = jfn_bf16(ho_variables, frames, sides)
-    deltas = [
-        float(jnp.max(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32))))
-        for a, b in zip(bf16_out, f32_out)
-    ]
-    results["hand_object_bf16"] = with_mfu(
-        {
-            "fps": B / dt, "batch": B,
-            "max_abs_delta_mm": {
-                k: round(d, 3)
-                for k, d in zip(("verts", "joints", "objpoints3d"), deltas)
+    # 3) bfloat16 encoder path: same (f32) params, bf16 compute
+    #    (config.py compute_dtype="bfloat16"), plus numeric delta vs f32.
+    def stage_bf16():
+        jfn_bf16 = make_infer(nets["hand_object_bf16"], True)
+        args = (ctx["ho_variables"], frames, sides)
+        dt = _timeit(jfn_bf16, args)
+        bf16_out = jfn_bf16(*args)
+        deltas = [
+            float(jnp.max(jnp.abs(a.astype(jnp.float32)
+                                  - b.astype(jnp.float32))))
+            for a, b in zip(bf16_out, ctx["f32_out"])
+        ]
+        results["hand_object_bf16"] = with_mfu(
+            {
+                "fps": B / dt, "batch": B,
+                "max_abs_delta_mm": {
+                    k: round(d, 3)
+                    for k, d in zip(("verts", "joints", "objpoints3d"), deltas)
+                },
             },
-        },
-        jfn_bf16, (ho_variables, frames, sides), dt,
-    )
-
-    # 3) contact-aware: losses live (attraction/repulsion + pairwise)
-    net = nets["contact"]
-    gt = make_synthetic_gt(B, S)
-    spec = BatchSpec()
-    variables = init_vars(net, gt, spec)
-
-    def contact_fwd(variables, frames, batch):
-        b = dict(batch)
-        b["images"] = frames.astype(jnp.float32) / 255.0 - 0.5
-        total, _, losses = net.apply(
-            variables, b, spec, rngs={"points": jax.random.PRNGKey(0)}
+            jfn_bf16, args, dt,
         )
-        return total
-    jfn = jax.jit(contact_fwd)
-    dt = _timeit(jfn, (variables, frames, gt))
-    results["contact_fwd_losses"] = with_mfu(
-        {"fps": B / dt, "batch": B}, jfn, (variables, frames, gt), dt
-    )
 
-    # 4) streaming dual flipped-input pipeline (image_demo path, batch of 2
-    #    per source frame)
-    from obman_train_tpu.ops.image import preprocess_frames
+    # 4) batch-1 latency on the headline config.  device_ms is measured
+    #    DIRECTLY with a delta-K dependency chain: one jitted executable
+    #    runs K batch-1 forwards serialized inside a lax.scan (each
+    #    iteration's image depends on the previous output through a
+    #    numerically-absorbed +carry*1e-30 term, so XLA cannot overlap or
+    #    elide iterations) and returns one scalar.  Both the K=1 and
+    #    K=1+CHAIN executables have IDENTICAL I/O, so the tunnel RTT + h2d
+    #    + dispatch cost cancels in the difference
+    #        device_ms = (t(1+CHAIN) - t(1)) / CHAIN.
+    #    The two executables are INTERLEAVED call by call — each pair's
+    #    calls land ~70 ms apart, so slow tunnel drift hits both sides of
+    #    the difference equally, and device_ms is the median over all
+    #    pairs (a single mid-window hang poisons one pair, not a whole
+    #    block).  The previous form differenced two back-to-back 30-call
+    #    block means measured seconds apart; drift between the blocks
+    #    leaked straight into the delta (78% run-to-run spread in the
+    #    round-4 driver data vs <10% required).
+    def stage_single_frame():
+        net = ctx["ho_net"]
+        ho_variables = ctx["ho_variables"]
+        jfn = ctx["ho_jfn"]
+        frame1, side1 = frames[:1], sides[:1]
+        dt1 = _timeit(jfn, (ho_variables, frame1, side1))
 
-    net = nets["hand_object"]
-    stream_B = BENCH_STREAM_BATCH
-    cam_frames = jnp.asarray(
-        rng.integers(0, 256, (stream_B, 480, 640, 3), dtype=np.uint8)
-    )
-    variables = init_vars(
-        net,
-        {"images": jnp.zeros((2 * stream_B, S, S, 3), jnp.float32),
-         "sides": jnp.zeros((2 * stream_B,), jnp.int32)},
-        infer_spec, no_loss=True, force_hand=True, force_objects=True,
-    )
+        def _request_lat(fn, args, iters=max(10, BENCH_ITERS)):
+            def _read(out):
+                return float(jnp.sum(jax.tree_util.tree_leaves(out)[0]))
 
-    def stream_fn(variables, cam):
-        dup = jnp.concatenate([cam, cam], axis=0)
-        flip = jnp.concatenate(
-            [jnp.zeros((stream_B,), bool), jnp.ones((stream_B,), bool)]
+            for _ in range(iters):      # warm: fresh executables run slow
+                _read(fn(*args))
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                _read(fn(*args))
+            return (time.perf_counter() - t0) / iters
+
+        def make_chain(k):
+            def fn(variables, frames, sides):
+                base = frames.astype(jnp.float32) / 255.0 - 0.5
+
+                def body(carry, _):
+                    _, res, _ = net.apply(
+                        variables,
+                        {"images": base + carry, "sides": sides}, infer_spec,
+                        no_loss=True, force_hand=True, force_objects=True,
+                    )
+                    # ~1e-25 against image values ~0.5: bit-identical
+                    # images, but a real data dependency XLA cannot fold
+                    return (jnp.sum(res["verts"])
+                            + jnp.sum(res["joints"])) * 1e-30, ()
+
+                carry, _ = jax.lax.scan(
+                    body, jnp.float32(0.0), None, length=k
+                )
+                return carry
+            return jax.jit(fn)
+
+        # Long chain so the per-pair delta (chain × ~0.3 ms device time)
+        # dwarfs per-call tunnel jitter: at 120 the signal is ~36 ms
+        # against ~1 ms call-to-call noise.
+        chain = int(os.environ.get("OBMAN_BENCH_CHAIN",
+                                   max(4, min(128, BENCH_ITERS * 4))))
+        fn_1 = make_chain(1)
+        fn_k = make_chain(1 + chain)
+        chain_args = (ho_variables, frame1, side1)
+
+        def call(fn):
+            float(fn(*chain_args))  # blocking scalar read per call
+
+        iters = max(10, BENCH_ITERS)
+        for _ in range(iters):  # warm both executables, interleaved
+            call(fn_1)
+            call(fn_k)
+        pair_ms = []
+        for _ in range(iters):
+            a = time.perf_counter()
+            call(fn_1)
+            b = time.perf_counter()
+            call(fn_k)
+            c = time.perf_counter()
+            pair_ms.append(((c - b) - (b - a)) / chain * 1e3)
+        device_ms = float(np.median(pair_ms))
+        # spread stat the README quotes: medians of 3 equal buckets
+        device_runs = [
+            float(np.median(bucket))
+            for bucket in np.array_split(np.asarray(pair_ms), 3)
+        ]
+        req_ms = _request_lat(jfn, (ho_variables, frame1, side1)) * 1e3
+        results["single_frame_latency"] = {
+            "latency_ms": dt1 * 1e3, "fps": 1.0 / dt1, "batch": 1,
+            "request_ms": req_ms,
+            "device_ms": device_ms,
+            "device_ms_runs": [round(r, 4) for r in device_runs],
+            "device_fps": 1e3 / device_ms if device_ms > 0 else None,
+            "transport_ms": max(req_ms - device_ms, 0.0),
+            "chain_len": chain,
+            "pairs": len(pair_ms),
+        }
+
+    # 5) contact-aware: losses live (attraction/repulsion + pairwise)
+    def stage_contact_fwd():
+        net = nets["contact"]
+        variables = init_vars(net, gt, spec)
+
+        def contact_fwd(variables, frames, batch):
+            b = dict(batch)
+            b["images"] = frames.astype(jnp.float32) / 255.0 - 0.5
+            total, _, losses = net.apply(
+                variables, b, spec, rngs={"points": jax.random.PRNGKey(0)}
+            )
+            return total
+
+        jfn = jax.jit(contact_fwd)
+        dt = _timeit(jfn, (variables, frames, gt))
+        results["contact_fwd_losses"] = with_mfu(
+            {"fps": B / dt, "batch": B}, jfn, (variables, frames, gt), dt
         )
-        images = preprocess_frames(dup.astype(jnp.float32), S, flip=flip)
-        s = jnp.concatenate(
-            [jnp.ones((stream_B,), jnp.int32), jnp.zeros((stream_B,), jnp.int32)]
-        )
-        _, res, _ = net.apply(
-            variables, {"images": images, "sides": s}, infer_spec,
-            no_loss=True, force_hand=True, force_objects=True,
-        )
-        return res["verts"], res["joints"], res["objpoints3d"]
-    dt = _timeit(jax.jit(stream_fn), (variables, cam_frames))
-    results["streaming_dual_flip"] = {
-        "source_fps": stream_B / dt, "batch": stream_B,
-        "note": "raw 640x480 frames in, both flips evaluated",
-    }
 
-    # 5) full train step — donated + chained (steady-state loop timing)
+    # 6) streaming dual flipped-input pipeline (image_demo path, batch of
+    #    2 per source frame)
+    def stage_streaming():
+        from obman_train_tpu.ops.image import preprocess_frames
+
+        net = nets["hand_object"]
+        stream_B = BENCH_STREAM_BATCH
+        cam_frames = jnp.asarray(
+            rng.integers(0, 256, (stream_B, 480, 640, 3), dtype=np.uint8)
+        )
+        variables = init_vars(
+            net,
+            {"images": jnp.zeros((2 * stream_B, S, S, 3), jnp.float32),
+             "sides": jnp.zeros((2 * stream_B,), jnp.int32)},
+            infer_spec, no_loss=True, force_hand=True, force_objects=True,
+        )
+
+        def stream_fn(variables, cam):
+            dup = jnp.concatenate([cam, cam], axis=0)
+            flip = jnp.concatenate(
+                [jnp.zeros((stream_B,), bool), jnp.ones((stream_B,), bool)]
+            )
+            images = preprocess_frames(dup.astype(jnp.float32), S, flip=flip)
+            s = jnp.concatenate(
+                [jnp.ones((stream_B,), jnp.int32),
+                 jnp.zeros((stream_B,), jnp.int32)]
+            )
+            _, res, _ = net.apply(
+                variables, {"images": images, "sides": s}, infer_spec,
+                no_loss=True, force_hand=True, force_objects=True,
+            )
+            return res["verts"], res["joints"], res["objpoints3d"]
+
+        dt = _timeit(jax.jit(stream_fn), (variables, cam_frames))
+        results["streaming_dual_flip"] = {
+            "source_fps": stream_B / dt, "batch": stream_B,
+            "note": "raw 640x480 frames in, both flips evaluated",
+        }
+
+    # 7) full train step — donated + chained (steady-state loop timing)
     def bench_train(name, net_key):
         step, state, key = build_train(nets[net_key], gt)
         flops = _flops_of(step, (state, gt, key))
@@ -474,26 +626,15 @@ def main():
             entry["mfu_pct"] = round(100.0 * flops / dt / peak, 2)
         results[name] = entry
 
-    bench_train("train_step_all_losses", "contact")
-    bench_train("train_step_bf16", "contact_bf16")
-    # 5b) --geometry_dtype rungs (selection-plane relaxations with exact
-    # f32 value recompute; parity deltas recorded by tools/geometry_ab.py)
-    bench_train("train_step_bf16_geom_f32sel", "contact_bf16_f32sel")
-    bench_train("train_step_bf16_geom_bf16sel", "contact_bf16_bf16sel")
-
-    # 6) large-point-count Chamfer: XLA vs the tiled Pallas kernel.  The
+    # 8) large-point-count Chamfer: XLA vs the tiled Pallas kernel.  The
     #    grad path is what training runs (and where the custom VJP's
     #    O(BN+BM) memory pays off), so time fwd AND grad.
-    from obman_train_tpu.ops.chamfer import _use_pallas, chamfer_loss
+    def cham_stage(label, cb, cn, cm):
+        from obman_train_tpu.ops.chamfer import _use_pallas, chamfer_loss
 
-    # sub-10ms kernels need a longer window to amortize per-executable
-    # slow-start on the tunneled TPU
-    cham_iters = max(50, BENCH_ITERS)
-    for label, (cb, cn, cm) in {
-        # the reference training config and a large-point config
-        "chamfer_reference": (BENCH_BATCH, 600, 642),
-        "chamfer_large": (1, BENCH_CHAMFER_N, BENCH_CHAMFER_N),
-    }.items():
+        # sub-10ms kernels need a longer window to amortize per-executable
+        # slow-start on the tunneled TPU
+        cham_iters = max(50, BENCH_ITERS)
         x = jnp.asarray(rng.normal(0, 40, (cb, cn, 3)), jnp.float32)
         y = jnp.asarray(rng.normal(0, 40, (cb, cm, 3)), jnp.float32)
 
@@ -527,143 +668,163 @@ def main():
             entry["pallas_grad_speedup"] = dt_gxla / dt_gpal
         results[label] = entry
 
-    # 7) host input pipeline: BatchLoader over the synthetic dataset
-    from obman_train_tpu.data.factory import get_dataset
-    from obman_train_tpu.data.loader import BatchLoader
+    # 9) host input pipeline: BatchLoader over the synthetic dataset
+    def stage_input_pipeline():
+        from obman_train_tpu.data.factory import get_dataset
+        from obman_train_tpu.data.loader import BatchLoader
 
-    # clamp so tiny smoke pipeline sizes still yield >= 1 (drop-last) batch
-    pipe_batch = min(64, BENCH_PIPELINE_SIZE)
-    host_cores = os.cpu_count() or 1
-    for aug_name, device_augment in (("host_aug", False), ("device_aug", True)):
-        ds = get_dataset(
-            "synthetic", "train", meta={"size": BENCH_PIPELINE_SIZE},
-            device_augment=device_augment,
-        )
-        loader = BatchLoader(ds, batch_size=pipe_batch, num_workers=8, seed=0)
-        for batch in loader:  # warmup epoch: imports, cv2 thread pools,
-            pass              # page-ins — first-epoch noise swamped the
-        n = 0                 # host_aug/device_aug comparison before
-        t0 = time.perf_counter()
-        for _ in range(2):
+        # clamp so tiny smoke pipeline sizes still yield >= 1 batch
+        pipe_batch = min(64, BENCH_PIPELINE_SIZE)
+        host_cores = os.cpu_count() or 1
+        for aug_name, device_augment in (("host_aug", False),
+                                         ("device_aug", True)):
+            ds = get_dataset(
+                "synthetic", "train", meta={"size": BENCH_PIPELINE_SIZE},
+                device_augment=device_augment,
+            )
+            loader = BatchLoader(ds, batch_size=pipe_batch, num_workers=8,
+                                 seed=0)
+            for batch in loader:  # warmup epoch: imports, cv2 thread pools,
+                pass              # page-ins — first-epoch noise swamped the
+            n = 0                 # host_aug/device_aug comparison before
+            t0 = time.perf_counter()
+            for _ in range(2):
+                for batch in loader:
+                    n += batch["images"].shape[0]
+            dt = time.perf_counter() - t0
+            results[f"input_pipeline_{aug_name}"] = {
+                "samples_per_sec": n / dt, "workers": 8, "batch": pipe_batch,
+                "samples": n,
+                # context the numbers can't travel without: per-sample host
+                # cost scales with cores (the bench box has had 1)
+                "host_cores": host_cores,
+                "samples_per_sec_per_core": n / dt / host_cores,
+            }
+
+    # 9b) host input pipeline over a REAL on-disk ObMan-layout tree
+    #     (data/fabricate.py): JPEG decode + meta-pickle read +
+    #     crop/warp/jitter — the synthetic entries above fake the decode
+    #     cost, this one pays it (reference hot path:
+    #     handobjectdatasets/handataset.py:104-413).  The tree is
+    #     fabricated once and reused across runs (keyed by size).
+    def stage_real_decode():
+        from obman_train_tpu.data.factory import get_dataset
+        from obman_train_tpu.data.loader import BatchLoader
+
+        pipe_batch = min(64, BENCH_PIPELINE_SIZE)
+        host_cores = os.cpu_count() or 1
+        decode_n = int(os.environ.get("OBMAN_BENCH_DECODE_SAMPLES",
+                                      min(2048, 4 * BENCH_PIPELINE_SIZE)))
+        try:
+            import cv2  # noqa: F401  (fabrication + decode need cv2)
+
+            from obman_train_tpu.data.fabricate import fabricate_obman
+
+            tree_root = os.path.join(
+                os.environ.get("TMPDIR", "/tmp"),
+                f"obman_bench_tree_{decode_n}",
+            )
+            marker = os.path.join(tree_root, ".complete")
+            if not os.path.exists(marker):
+                fabricate_obman(tree_root, decode_n)
+                with open(marker, "w") as f:
+                    f.write(str(decode_n))
+            ds = get_dataset(
+                "obman", "train",
+                meta={"obman_root": os.path.join(tree_root, "obman"),
+                      "shapenet_root": os.path.join(tree_root, "shapenet")},
+                device_augment=True,
+            )
+            loader = BatchLoader(ds, batch_size=pipe_batch, num_workers=8,
+                                 seed=0)
+            for batch in loader:  # warmup epoch (imports, page cache, pools)
+                pass
+            n = 0
+            t0 = time.perf_counter()
             for batch in loader:
                 n += batch["images"].shape[0]
-        dt = time.perf_counter() - t0
-        results[f"input_pipeline_{aug_name}"] = {
-            "samples_per_sec": n / dt, "workers": 8, "batch": pipe_batch,
-            "samples": n,
-            # context the numbers can't travel without: per-sample host
-            # cost scales with cores (the bench box has had 1)
-            "host_cores": host_cores,
-            "samples_per_sec_per_core": n / dt / host_cores,
-        }
+            dt = time.perf_counter() - t0
+            results["input_pipeline_real_decode"] = {
+                "samples_per_sec": n / dt, "workers": 8, "batch": pipe_batch,
+                "samples": n, "host_cores": host_cores,
+                "samples_per_sec_per_core": n / dt / host_cores,
+                "note": "real JPEG decode from disk (fabricated ObMan "
+                        "tree), device_augment host path",
+            }
+        except ImportError as e:  # cv2 absent: a skip, not an error
+            results["input_pipeline_real_decode"] = {"skipped": str(e)}
 
-    # 7b) host input pipeline over a REAL on-disk ObMan-layout tree
-    # (data/fabricate.py): JPEG decode + meta-pickle read + crop/warp/jitter
-    # — the synthetic entries above fake the decode cost, this one pays it
-    # (reference hot path: handobjectdatasets/handataset.py:104-413).  The
-    # tree is fabricated once and reused across runs (keyed by size).
-    decode_n = int(os.environ.get("OBMAN_BENCH_DECODE_SAMPLES",
-                                  min(2048, 4 * BENCH_PIPELINE_SIZE)))
-    try:
-        import cv2  # noqa: F401  (fabrication + decode need cv2)
+    # 10) end-to-end training throughput: host loader feeding the device
+    #     step, losses read one step behind so host batch prep overlaps
+    #     device compute (train/loop.py's pipelining) — the samples/s a
+    #     user actually gets on one host + one chip.
+    def stage_end_to_end():
+        from obman_train_tpu.data.factory import get_dataset
+        from obman_train_tpu.data.loader import BatchLoader, derive_spec
 
-        from obman_train_tpu.data.fabricate import fabricate_obman
-
-        tree_root = os.path.join(
-            os.environ.get("TMPDIR", "/tmp"),
-            f"obman_bench_tree_{decode_n}",
-        )
-        marker = os.path.join(tree_root, ".complete")
-        if not os.path.exists(marker):
-            fabricate_obman(tree_root, decode_n)
-            with open(marker, "w") as f:
-                f.write(str(decode_n))
+        host_cores = os.cpu_count() or 1
         ds = get_dataset(
-            "obman", "train",
-            meta={"obman_root": os.path.join(tree_root, "obman"),
-                  "shapenet_root": os.path.join(tree_root, "shapenet")},
+            "synthetic", "train", meta={"size": BENCH_PIPELINE_SIZE},
             device_augment=True,
         )
-        loader = BatchLoader(ds, batch_size=pipe_batch, num_workers=8, seed=0)
-        for batch in loader:  # warmup epoch (imports, page cache, pools)
-            pass
-        n = 0
+        # clamp so tiny CPU-smoke pipeline sizes still yield >= 1 batch
+        e2e_batch = min(64, BENCH_PIPELINE_SIZE)
+        e2e_loader = BatchLoader(ds, batch_size=e2e_batch, num_workers=2,
+                                 seed=0)
+        first = next(iter(e2e_loader))
+        e2e_spec = derive_spec(first)
+        net = nets["hand_object"]
+        tx = make_optimizer(TrainConfig())
+        e2e_state = create_train_state(net, tx, first, e2e_spec)
+        e2e_step = make_train_step(net, tx, e2e_spec, donate=True)
+        key = jax.random.PRNGKey(0)
+
+        def run_epoch(state):
+            n, pending = 0, None
+            for batch in e2e_loader:
+                # one async tree put: numpy leaves passed straight to the
+                # jitted step convert with a device sync per array (a round
+                # trip per leaf on the tunneled TPU — 480 ms/step vs 12 ms
+                # for the put)
+                batch = jax.device_put(batch)
+                state, losses = e2e_step(state, batch, key)
+                if pending is not None:
+                    float(pending["total_loss"])  # sync one step behind
+                pending = losses
+                n += batch["images"].shape[0]
+            float(pending["total_loss"])
+            return state, n
+
+        # warm TWO epochs (32 step calls): fresh executables run slow for
+        # roughly their first 30 calls on the tunneled v5e (see _timeit)
+        e2e_state, _ = run_epoch(e2e_state)
+        e2e_state, _ = run_epoch(e2e_state)
         t0 = time.perf_counter()
-        for batch in loader:
-            n += batch["images"].shape[0]
+        e2e_state, n = run_epoch(e2e_state)
         dt = time.perf_counter() - t0
-        results["input_pipeline_real_decode"] = {
-            "samples_per_sec": n / dt, "workers": 8, "batch": pipe_batch,
-            "samples": n, "host_cores": host_cores,
-            "samples_per_sec_per_core": n / dt / host_cores,
-            "note": "real JPEG decode from disk (fabricated ObMan tree), "
-                    "device_augment host path",
+        results["end_to_end_train"] = {
+            "samples_per_sec": n / dt, "batch": e2e_batch, "workers": 2,
+            "host_cores": host_cores,
+            "note": "synthetic loader + full train step, device_augment; "
+                    "host-bound when device-only throughput exceeds "
+                    "samples_per_sec (scale loader cores/hosts)",
         }
-    except Exception as e:  # cv2 absent or disk-constrained image: skip
-        results["input_pipeline_real_decode"] = {"skipped": str(e)}
 
-    # 8) end-to-end training throughput: host loader feeding the device
-    #    step, losses read one step behind so host batch prep overlaps
-    #    device compute (train/loop.py's pipelining) — the samples/s a
-    #    user actually gets on one host + one chip.
-    ds = get_dataset(
-        "synthetic", "train", meta={"size": BENCH_PIPELINE_SIZE},
-        device_augment=True,
-    )
-    # clamp so tiny CPU-smoke pipeline sizes still yield >= 1 batch
-    e2e_batch = min(64, BENCH_PIPELINE_SIZE)
-    e2e_loader = BatchLoader(ds, batch_size=e2e_batch, num_workers=2, seed=0)
-    first = next(iter(e2e_loader))
-    from obman_train_tpu.data.loader import derive_spec
-
-    e2e_spec = derive_spec(first)
-    net = nets["hand_object"]
-    tcfg = TrainConfig()
-    tx = make_optimizer(tcfg)
-    e2e_state = create_train_state(net, tx, first, e2e_spec)
-    e2e_step = make_train_step(net, tx, e2e_spec, donate=True)
-    key = jax.random.PRNGKey(0)
-
-    def run_epoch(state):
-        n, pending = 0, None
-        for batch in e2e_loader:
-            # one async tree put: numpy leaves passed straight to the jitted
-            # step convert with a device sync per array (a round trip per
-            # leaf on the tunneled TPU — 480 ms/step vs 12 ms for the put)
-            batch = jax.device_put(batch)
-            state, losses = e2e_step(state, batch, key)
-            if pending is not None:
-                float(pending["total_loss"])  # sync one step behind
-            pending = losses
-            n += batch["images"].shape[0]
-        float(pending["total_loss"])
-        return state, n
-
-    # warm TWO epochs (32 step calls): fresh executables run slow for
-    # roughly their first 30 calls on the tunneled v5e (see _timeit)
-    e2e_state, _ = run_epoch(e2e_state)
-    e2e_state, _ = run_epoch(e2e_state)
-    t0 = time.perf_counter()
-    e2e_state, n = run_epoch(e2e_state)
-    dt = time.perf_counter() - t0
-    results["end_to_end_train"] = {
-        "samples_per_sec": n / dt, "batch": e2e_batch, "workers": 2,
-        "host_cores": host_cores,
-        "note": "synthetic loader + full train step, device_augment; "
-                "host-bound when device-only throughput exceeds "
-                "samples_per_sec (scale loader cores/hosts)",
-    }
-
-    # 9) demo cold-start: live DemoModel (build net, restore, trace+compile
-    #    at first frame) vs --from_export (deserialize StableHLO, no model
-    #    code or trace).  Each path runs in a FRESH python process so jit
-    #    caches can't flatter either side; the child prints one JSON line.
-    #    The reference's demos always pay the full reload path
-    #    (image_demo.py:54-56 re-instantiates torch from opt.pkl).
-    import subprocess
-    import sys as _sys
-
+    # 11) demo cold-start: live DemoModel (build net, restore,
+    #     trace+compile at first frame) vs --from_export (deserialize
+    #     StableHLO, no model code or trace).  Each path runs in a FRESH
+    #     python process so jit caches can't flatter either side; the
+    #     child prints one JSON line.  The reference's demos always pay
+    #     the full reload path (image_demo.py:54-56 re-instantiates torch
+    #     from opt.pkl).  Two variants: cold (empty persistent compilation
+    #     cache — the children populate it) and warm (same children,
+    #     cache pre-populated — what a second-or-later serving launch
+    #     actually pays; utils/compcache.py is on by default in the demo
+    #     CLIs).
     coldstart_n = int(os.environ.get("OBMAN_BENCH_COLDSTART_FRAMES", 20))
+    compcache_dir = os.path.join(
+        os.environ.get("TMPDIR", "/tmp"), f"bench_compcache_{S}"
+    )
     child_preamble = (
         "import time, json, os\n"
         "t0 = time.perf_counter()\n"
@@ -671,6 +832,9 @@ def main():
         "import jax\n"
         "if os.environ.get('OBMAN_BENCH_CPU'):\n"
         "    jax.config.update('jax_platforms', 'cpu')\n"
+        "from obman_train_tpu.utils.compcache import "
+        "enable_persistent_cache\n"
+        "enable_persistent_cache()\n"  # dir comes from OBMAN_COMPCACHE_DIR
         f"SIZE = {S}\n"
         f"N = {coldstart_n}\n"
     )
@@ -686,7 +850,34 @@ def main():
         "                  'first_frame_s': round(t_first - t_ctor, 2),\n"
         "                  'steady_ms': round(t_steady * 1e3, 2)}))\n"
     )
-    try:
+
+    def child_timeout():
+        # never longer than the remaining wall budget (round 4's driver
+        # run died waiting on 1200 s children)
+        return max(60.0, min(
+            float(os.environ.get("OBMAN_BENCH_COLDSTART_TIMEOUT", 600)),
+            remaining(),
+        ))
+
+    def run_child(src):
+        """-> (record dict | None, error str | None)."""
+        timeout_s = child_timeout()
+        env = dict(os.environ, OBMAN_COMPCACHE_DIR=compcache_dir)
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", src], capture_output=True,
+                text=True, timeout=timeout_s, cwd=_REPO, env=env,
+            )
+        except subprocess.TimeoutExpired:
+            return None, f"timed out after {int(timeout_s)}s"
+        if out.returncode != 0:
+            return None, out.stderr[-500:]
+        try:
+            return json.loads(out.stdout.strip().splitlines()[-1]), None
+        except Exception:
+            return None, f"unparseable child stdout: {out.stdout[-200:]!r}"
+
+    def stage_coldstart():
         from obman_train_tpu.config import ExperimentConfig
         from obman_train_tpu.demo import DemoModel
         from obman_train_tpu.demo.export import export_model
@@ -699,87 +890,130 @@ def main():
                       image_size=S),
             export_path,
         )
-        live_src = child_preamble + (
-            "from obman_train_tpu.config import ExperimentConfig\n"
-            "from obman_train_tpu.demo import DemoModel\n"
-            "m = DemoModel(config=ExperimentConfig(),"
-            " mano_assets='synthetic', image_size=SIZE)\n"
-            "t_ctor = time.perf_counter()\n"
-        ) + child_epilogue
-        export_src = child_preamble + (
-            "from obman_train_tpu.demo.export import ExportedModel\n"
-            f"m = ExportedModel({export_path!r})\n"
-            "t_ctor = time.perf_counter()\n"
-        ) + child_epilogue
+        ctx["coldstart_srcs"] = {
+            "live": child_preamble + (
+                "from obman_train_tpu.config import ExperimentConfig\n"
+                "from obman_train_tpu.demo import DemoModel\n"
+                "m = DemoModel(config=ExperimentConfig(),"
+                " mano_assets='synthetic', image_size=SIZE)\n"
+                "t_ctor = time.perf_counter()\n"
+            ) + child_epilogue,
+            "from_export": child_preamble + (
+                "from obman_train_tpu.demo.export import ExportedModel\n"
+                f"m = ExportedModel({export_path!r})\n"
+                "t_ctor = time.perf_counter()\n"
+            ) + child_epilogue,
+        }
+        # cold means cold: the children share one persistent-cache dir,
+        # wiped here so the cold numbers never ride an earlier run's cache
+        shutil.rmtree(compcache_dir, ignore_errors=True)
+        attempts = int(os.environ.get("OBMAN_BENCH_COLDSTART_ATTEMPTS", 1))
         entry = {"frames": coldstart_n}
-        child_timeout = int(os.environ.get("OBMAN_BENCH_COLDSTART_TIMEOUT",
-                                           1200))
-        for name, src in (("live", live_src), ("from_export", export_src)):
-            # The tunnel occasionally hangs for tens of minutes mid-compile
-            # (a standalone re-probe measured first_frame 44 s vs 212 s for
-            # the SAME child in a bad window), so each child runs up to
-            # twice and the faster-to-first-frame run is kept — the same
-            # hang-bias defense as the chain section's median-of-3.  A
-            # timeout/failure must not discard the other child's result.
-            runs = []
-            for attempt in (1, 2, 3):
-                try:
-                    out = subprocess.run(
-                        [_sys.executable, "-c", src], capture_output=True,
-                        text=True, timeout=child_timeout,
-                        cwd=os.path.dirname(os.path.abspath(__file__)),
-                    )
-                except subprocess.TimeoutExpired:
-                    entry[f"{name}_error"] = (
-                        f"timed out after {child_timeout}s (attempt {attempt})"
-                    )
-                    continue
-                if out.returncode != 0:
-                    entry[f"{name}_error"] = out.stderr[-500:]
-                    continue
-                runs.append(json.loads(out.stdout.strip().splitlines()[-1]))
-                entry.pop(f"{name}_error", None)
-                if len(runs) == 2:
+        for name, src in ctx["coldstart_srcs"].items():
+            recs, errs = [], []
+            for _ in range(attempts):
+                rec, err = run_child(src)
+                if rec is not None:
+                    recs.append(rec)
+                else:
+                    errs.append(err)
+                if remaining() <= 0:
                     break
-            if runs:
-                entry[name] = min(runs, key=lambda r: r["first_frame_s"])
-                entry[name]["attempts_first_frame_s"] = [
-                    r["first_frame_s"] for r in runs
+            # entry[name] present <=> at least one success; the _error key
+            # exists only when EVERY attempt failed (round 4 left both a
+            # valid result and a stale timeout error in the same entry)
+            if recs:
+                best = min(recs, key=lambda r: r["first_frame_s"])
+                best["attempts_first_frame_s"] = [
+                    r["first_frame_s"] for r in recs
                 ]
+                if errs:
+                    best["failed_attempts"] = errs
+                entry[name] = best
+            else:
+                entry[f"{name}_error"] = (
+                    errs[-1] if errs else "no attempts (budget)"
+                )
         results["demo_coldstart"] = entry
-    except Exception as e:  # keep the bench robust on constrained hosts
-        results["demo_coldstart"] = {"skipped": str(e)}
 
-    # CPU smokes must not clobber the on-disk real-TPU details file
-    details_path = (
-        "bench_details_cpu.json"
-        if os.environ.get("OBMAN_BENCH_CPU")
-        else "bench_details.json"
-    )
-    with open(details_path, "w") as f:
-        json.dump(
-            {
-                "device": str(jax.devices()[0]),
-                "image_size": S,
-                "results": {
-                    k: {kk: (round(vv, 2) if isinstance(vv, float) else vv)
-                        for kk, vv in v.items()}
-                    for k, v in results.items()
-                },
-            },
-            f, indent=1,
-        )
+    def stage_coldstart_warm():
+        srcs = ctx.get("coldstart_srcs")
+        if not srcs:
+            raise RuntimeError("demo_coldstart stage did not run")
+        entry = {
+            "frames": coldstart_n,
+            "note": "same fresh-process children as demo_coldstart, "
+                    "persistent compilation cache pre-populated by the "
+                    "cold runs (utils/compcache.py — the demo CLIs enable "
+                    "it by default, so this is what every launch after "
+                    "the first pays)",
+        }
+        for name, src in srcs.items():
+            if name not in results.get("demo_coldstart", {}):
+                continue  # cold run failed: no cache to be warm from
+            rec, err = run_child(src)
+            if rec is not None:
+                entry[name] = rec
+            else:
+                entry[f"{name}_error"] = err
+        results["demo_coldstart_warm_cache"] = entry
 
-    print(
-        json.dumps(
-            {
-                "metric": "rgb_to_hand_object_mesh_inference",
-                "value": round(headline_fps, 1),
-                "unit": "frames/sec/chip",
-                "vs_baseline": round(headline_fps / BASELINE_FPS, 3),
-            }
-        )
+    run_stage(stage_headline, "hand_object_inference")
+    run_stage(stage_hands_only, "hands_only_inference")
+    run_stage(stage_bf16, "hand_object_bf16")
+    run_stage(stage_single_frame, "single_frame_latency")
+    run_stage(stage_contact_fwd, "contact_fwd_losses")
+    run_stage(stage_streaming, "streaming_dual_flip")
+    run_stage(lambda: bench_train("train_step_all_losses", "contact"),
+              "train_step_all_losses")
+    run_stage(lambda: bench_train("train_step_bf16", "contact_bf16"),
+              "train_step_bf16")
+    # --geometry_dtype rungs (selection-plane relaxations with exact f32
+    # value recompute; parity deltas recorded by tools/geometry_ab.py)
+    run_stage(lambda: bench_train("train_step_bf16_geom_f32sel",
+                                  "contact_bf16_f32sel"),
+              "train_step_bf16_geom_f32sel")
+    run_stage(lambda: bench_train("train_step_bf16_geom_bf16sel",
+                                  "contact_bf16_bf16sel"),
+              "train_step_bf16_geom_bf16sel")
+    run_stage(lambda: cham_stage("chamfer_reference", BENCH_BATCH, 600, 642),
+              "chamfer_reference")
+    run_stage(lambda: cham_stage("chamfer_large", 1,
+                                 BENCH_CHAMFER_N, BENCH_CHAMFER_N),
+              "chamfer_large")
+    run_stage(stage_input_pipeline,
+              "input_pipeline_host_aug", "input_pipeline_device_aug")
+    run_stage(stage_real_decode, "input_pipeline_real_decode")
+    run_stage(stage_end_to_end, "end_to_end_train")
+    run_stage(stage_coldstart, "demo_coldstart")
+    run_stage(stage_coldstart_warm, "demo_coldstart_warm_cache")
+
+    # Re-render README's perf block when (and only when) this is a real-TPU
+    # run whose details are COMPLETE — a budget-skipped or errored stage
+    # must never rewrite the committed numbers with a degraded block.
+    complete = all(
+        not ({"skipped", "error"} & set(v)) for v in results.values()
     )
+    if not os.environ.get("OBMAN_BENCH_CPU") \
+            and jax.default_backend() == "tpu":
+        if complete:
+            try:
+                sys.path.insert(0, os.path.join(_REPO, "tools"))
+                import render_readme_perf as rrp
+
+                with open(details_path) as f:
+                    rrp.render(json.load(f))  # raises before any rewrite
+                rrp.main()
+            except Exception as e:
+                print(f"[bench] README render failed: "
+                      f"{type(e).__name__}: {e}", file=sys.stderr, flush=True)
+        else:
+            partial = [k for k, v in results.items()
+                       if {"skipped", "error"} & set(v)]
+            print(f"[bench] README render skipped (incomplete stages: "
+                  f"{partial})", file=sys.stderr, flush=True)
+    print(f"[bench] done in {elapsed():.0f}s; details -> {details_path}",
+          file=sys.stderr, flush=True)
 
 
 if __name__ == "__main__":
