@@ -146,8 +146,9 @@ class ModelConfig(JsonConfigMixin):
     compute_dtype: str = "float32"       # or "bfloat16" for the encoder path
     # Chamfer/contact nearest-neighbor selection-plane mode
     # (ops/chamfer.py::plane_dtype_for): "float32" = reference parity path
-    # (f32 HIGHEST plane forward; scatter-form custom VJP backward, grads
-    # equal to AD-through-the-plane to float rounding); "float32_select" =
+    # (f32 HIGHEST plane forward; backward is plain AD through the plane —
+    # the in-context winner, chamfer_bwd_ab.json; OBMAN_SCATTER_BWD=1 opts
+    # into the scatter-form custom VJP); "float32_select" =
     # same f32 plane for SELECTION only, min values recomputed exactly
     # from the selected pairs (backward never touches the plane);
     # "bfloat16" = one-MXU-pass bf16 selection plane + exact f32 recompute

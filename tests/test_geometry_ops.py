@@ -97,12 +97,18 @@ def _clouds(rng, b=3, n=778, m=642, scale=60.0):
     return x, y
 
 
-def test_chamfer_scatter_backward_matches_plane_ad(rng):
-    """chamfer_loss's XLA path uses _plane_min_scatter: forward values are
-    bit-identical to differentiating jnp.min over the plane, and the
-    scatter-form backward computes the same min subgradient (2(x - y*))
-    to float rounding — without rematerializing the (B, N, M) plane."""
+def test_chamfer_scatter_backward_matches_plane_ad(rng, monkeypatch):
+    """chamfer_loss's OBMAN_SCATTER_BWD=1 opt-in path (_plane_min_scatter;
+    plane AD is the shipped default since the in-context A/B,
+    chamfer_bwd_ab.json): forward values are bit-identical to
+    differentiating jnp.min over the plane, and the scatter-form backward
+    computes the same min subgradient (2(x - y*)) to float rounding —
+    without rematerializing the (B, N, M) plane.  The flag is forced on
+    here so the scatter VJP is actually the path under test."""
+    import obman_train_tpu.ops.chamfer as chamfer_mod
     from obman_train_tpu.ops.chamfer import batch_pairwise_sqdist
+
+    monkeypatch.setattr(chamfer_mod, "_SCATTER_BWD", True)
 
     preds, gts = _clouds(rng, b=2, n=600, m=642)
 
@@ -123,15 +129,21 @@ def test_chamfer_scatter_backward_matches_plane_ad(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
-def test_min_sqdist_scatter_backward_matches_plane_ad(rng):
-    """chamfer_min_sqdist's XLA path (the contact op's hot backward) uses
-    _plane_min_scatter_argmin: mins/argmins bit-identical to the plain
-    plane reduces, gradients of a mins-consuming loss match AD through the
-    plane to float rounding — without re-touching the (B, N, M) plane."""
+def test_min_sqdist_scatter_backward_matches_plane_ad(rng, monkeypatch):
+    """chamfer_min_sqdist's OBMAN_SCATTER_BWD=1 opt-in path
+    (_plane_min_scatter_argmin; plane AD is the shipped default since the
+    in-context A/B, chamfer_bwd_ab.json): mins/argmins bit-identical to
+    the plain plane reduces, gradients of a mins-consuming loss match AD
+    through the plane to float rounding — without re-touching the
+    (B, N, M) plane.  The flag is forced on here so the scatter VJP is
+    actually the path under test."""
+    import obman_train_tpu.ops.chamfer as chamfer_mod
     from obman_train_tpu.ops.chamfer import (
         batch_pairwise_sqdist,
         chamfer_min_sqdist,
     )
+
+    monkeypatch.setattr(chamfer_mod, "_SCATTER_BWD", True)
 
     x, y = _clouds(rng, b=2, n=778, m=642)
 

@@ -10,10 +10,12 @@ plane-path implementations at trace time, exactly like encoder_ab.py
 patches the stem gates) and times the arms in alternating windows so
 tunnel drift cancels.  Arms:
 
-  scatter    the shipped default: parity-plane forward + scatter-form
-             custom VJP (_plane_min_scatter / _plane_min_scatter_argmin)
-  plane_ad   the reference-shaped backward: plain jnp.min over the
+  scatter    the OBMAN_SCATTER_BWD=1 opt-in: parity-plane forward +
+             scatter-form custom VJP (_plane_min_scatter /
+             _plane_min_scatter_argmin)
+  plane_ad   the shipped default backward: plain jnp.min over the
              (B, N, M) plane, AD re-touches the plane in the backward
+             (this A/B is what flipped the default to plane_ad)
 
 Both bf16 and fp32 compute_dtype rungs are timed (the bf16 step is the
 MFU headline; the fp32 step is the parity default).
