@@ -11,6 +11,7 @@ Key semantics preserved from the reference:
 
 from __future__ import annotations
 
+import os
 from typing import Dict, Optional, Tuple
 
 import jax.numpy as jnp
@@ -18,6 +19,19 @@ import jax.numpy as jnp
 from obman_train_tpu.config import AtlasConfig, ManoConfig
 from obman_train_tpu.ops.chamfer import chamfer_loss, plane_dtype_for
 from obman_train_tpu.ops.mesh import edge_loss, laplacian_loss
+
+# Compute the centered + final atlas chamfer pair as ONE stacked
+# chamfer_loss call on a (2B, N, M) plane instead of two (B, N, M) calls.
+# Per-example math is identical (the batched einsum contracts each example
+# independently) — eager the values are bit-identical to the two-call form
+# (tests/test_losses.py); under jit XLA may fuse the stacked graph
+# differently, shifting f32 low bits only.  In-context A/B on the full
+# train step (tools/fusion_ab.py, fusion_ab.json, v5e batch 256): the
+# stacked plane LOSES ~1.1 ms/step on both rungs (bf16 57.2 vs 56.0,
+# fp32 80.6 vs 79.5) — XLA overlaps the two small planes with conv
+# scheduling better than one double-batch plane plus its concatenates —
+# so two calls stay the default and stacking is the measured opt-in.
+_STACK_ATLAS_PLANES = os.environ.get("OBMAN_STACK_ATLAS", "0") == "1"
 
 
 def mse(a, b):
@@ -111,13 +125,28 @@ def compute_atlas_loss(
             )
             scale_loss = mse(preds["objscale"], scales_gt[:, None])
             losses["atlas_scale3d"] = scale_loss
-        l1, l2 = chamfer_loss(preds["objpointscentered3d"], centered,
-                              plane_dtype=plane_dtype)
-        sym_loss = jnp.mean(l1 + l2)
+        if _STACK_ATLAS_PLANES:
+            # One (2B, N, M) plane for the centered+final pair; slicing the
+            # per-example means back out reproduces the two-call values
+            # bit-for-bit (each example's contraction is independent).
+            B = target.shape[0]
+            l1, l2 = chamfer_loss(
+                jnp.concatenate(
+                    [preds["objpointscentered3d"], preds["objpoints3d"]]
+                ),
+                jnp.concatenate([centered, target]),
+                plane_dtype=plane_dtype,
+            )
+            sym_loss = jnp.mean(l1[:B] + l2[:B])
+            sym_final = jnp.mean(l1[B:] + l2[B:])
+        else:
+            l1, l2 = chamfer_loss(preds["objpointscentered3d"], centered,
+                                  plane_dtype=plane_dtype)
+            sym_loss = jnp.mean(l1 + l2)
+            f1, f2 = chamfer_loss(preds["objpoints3d"], target,
+                                  plane_dtype=plane_dtype)
+            sym_final = jnp.mean(f1 + f2)
         obj_mesh = preds["objpointscentered3d"]
-        f1, f2 = chamfer_loss(preds["objpoints3d"], target,
-                              plane_dtype=plane_dtype)
-        sym_final = jnp.mean(f1 + f2)
         losses["final_chamfer_loss"] = sym_final
         final = (
             (cfg.lambda_atlas or 0.0) * sym_loss
