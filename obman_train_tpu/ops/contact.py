@@ -19,6 +19,7 @@ All thresholds are in the reference's units: verts are in millimetres;
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Dict, Tuple
 
@@ -32,6 +33,39 @@ from obman_train_tpu.ops.chamfer import (
     plane_dtype_for,
 )
 from obman_train_tpu.ops.inside import batch_mesh_contains_points
+
+
+# Nearest-object-point selection as a one-hot MXU matmul instead of
+# gather + (under AD) scatter-add.  The round-5 step-budget trace
+# (tools/step_budget.py, step_budget.json) showed the contact op's
+# take_along_axis costing 1.3 ms forward plus a 2.9 ms serialized
+# scatter-add in the backward (the gather's AD transpose) — together the
+# single largest geometry sink in the bf16 train step.  The one-hot form
+# computes results_close = onehot(argmin) @ obj_verts: products are
+# value*1 (exact), each output row has exactly one nonzero term, so
+# forward values are bit-identical, and the backward is the transposed
+# matmul — dense MXU work, no scatter.  Default decided by the in-context
+# A/B (tools/fusion_ab.py, fusion_ab.json).
+_ONEHOT_GATHER = os.environ.get("OBMAN_ONEHOT_GATHER", "1") == "1"
+
+
+def _select_closest(obj_verts: jnp.ndarray, idxs: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, 3) nearest object point per hand vert, differentiable w.r.t.
+    ``obj_verts`` (the selection indices are constants under AD)."""
+    if not _ONEHOT_GATHER:
+        return jnp.take_along_axis(obj_verts, idxs[..., None], axis=1)
+    onehot = (
+        idxs[..., None]
+        == jnp.arange(obj_verts.shape[1], dtype=idxs.dtype)[None, None, :]
+    )
+    oh = jax.lax.stop_gradient(onehot).astype(obj_verts.dtype)
+    # One-hot rows are exact in bf16 (0/1); HIGHEST on the rhs keeps f32
+    # coordinates exactly reconstructed through the bf16-pass MXU matmul
+    # (each output element is a single 1*v product).
+    return jnp.einsum(
+        "bhm,bmd->bhd", oh, obj_verts,
+        precision=(jax.lax.Precision.DEFAULT, jax.lax.Precision.HIGHEST),
+    )
 
 
 def thres_loss(vals: jnp.ndarray, thres: float = 25.0) -> jnp.ndarray:
@@ -144,9 +178,7 @@ def compute_contact_loss(
     )
     penetr_mask = ~exterior
 
-    results_close = jnp.take_along_axis(
-        obj_verts, min21idxs[..., None], axis=1
-    )  # (B, H, 3)
+    results_close = _select_closest(obj_verts, min21idxs)  # (B, H, 3)
 
     diff = _target_diff(results_close, hand_verts, contact_target)
     anchor_dists = jnp.sqrt(jnp.sum(diff**2, axis=2) + 1e-16)

@@ -104,3 +104,72 @@ def test_gradient_targets(scene):
         )
         assert (float(jnp.abs(gh).sum()) > 0) == hand_gets_grad, target
         assert (float(jnp.abs(go).sum()) > 0) == obj_gets_grad, target
+
+
+def test_onehot_gather_matches_take_along_axis(scene, monkeypatch):
+    """The one-hot-matmul nearest-point selection (_select_closest) must be
+    BIT-identical to take_along_axis in the forward (each output element is
+    a single 1*v product) and match its gradients: the matmul transpose is
+    the same per-pair accumulation the gather's scatter-add performs, in
+    f32 on the MXU."""
+    import jax
+
+    import obman_train_tpu.ops.contact as ct
+
+    hand, overts, ofaces = scene
+    center = hand[0].mean(0)
+    obj = (overts * 120.0 + center)[None].astype(np.float32)
+    rng = np.random.default_rng(3)
+    idxs = jnp.asarray(
+        rng.integers(0, obj.shape[1], (1, hand.shape[1])), jnp.int32
+    )
+
+    outs, grads = {}, {}
+    for flag in (True, False):
+        monkeypatch.setattr(ct, "_ONEHOT_GATHER", flag)
+        outs[flag] = np.asarray(ct._select_closest(jnp.asarray(obj), idxs))
+
+        def loss(o):
+            sel = ct._select_closest(o, idxs)
+            return jnp.sum(sel * sel)
+
+        grads[flag] = np.asarray(jax.grad(loss)(jnp.asarray(obj)))
+    np.testing.assert_array_equal(outs[True], outs[False])
+    np.testing.assert_allclose(grads[True], grads[False],
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_contact_loss_matches_across_gather_forms(scene, monkeypatch):
+    """compute_contact_loss end to end under both selection forms."""
+    import jax
+
+    import obman_train_tpu.ops.contact as ct
+
+    hand, overts, ofaces = scene
+    center = hand[0].mean(0)
+    obj = (overts * 120.0 + center)[None].astype(np.float32)
+
+    def run(flag):
+        monkeypatch.setattr(ct, "_ONEHOT_GATHER", flag)
+        # bypass the jit cache: static args identical across flags would
+        # reuse the first trace and hide the patched form
+        a, p, _, m = compute_contact_loss.__wrapped__(
+            jnp.asarray(hand), jnp.asarray(obj), jnp.asarray(ofaces),
+            contact_mode="dist_tanh", contact_zones="zones",
+        )
+        g = jax.grad(
+            lambda o: compute_contact_loss.__wrapped__(
+                jnp.asarray(hand), o, jnp.asarray(ofaces),
+                contact_mode="dist_tanh", contact_zones="zones",
+            )[0]
+        )(jnp.asarray(obj))
+        return float(a), float(p), {k: float(v) for k, v in m.items()}, \
+            np.asarray(g)
+
+    a1, p1, m1, g1 = run(True)
+    a2, p2, m2, g2 = run(False)
+    assert a1 == pytest.approx(a2, rel=1e-6)
+    assert p1 == pytest.approx(p2, rel=1e-6)
+    for k in m1:
+        assert m1[k] == pytest.approx(m2[k], rel=1e-6), k
+    np.testing.assert_allclose(g1, g2, rtol=1e-5, atol=1e-7)

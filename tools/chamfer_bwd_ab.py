@@ -61,7 +61,14 @@ def main():
     def build(net, use_scatter):
         # The call sites branch on the module-level _SCATTER_BWD at trace
         # time (ops/chamfer.py), so flipping it before the compile selects
-        # the backward form for this arm.
+        # the backward form for this arm.  compute_contact_loss is itself
+        # @jax.jit and caches its inner trace across arms — clear it so
+        # the contact-side chamfer_min_sqdist really re-traces under the
+        # patch (without this, every arm's CONTACT plane kept the first
+        # build's backward form and only the atlas chamfer_loss flipped).
+        from obman_train_tpu.ops.contact import compute_contact_loss
+
+        compute_contact_loss.clear_cache()
         ch._SCATTER_BWD = use_scatter
         try:
             step, state, key = bench.build_train(net, gt, donate=False)
