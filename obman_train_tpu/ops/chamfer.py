@@ -23,10 +23,11 @@ import jax.numpy as jnp
 # Backward form for the XLA (small-plane) path.  The scatter-form custom
 # VJP wins standalone (3.8-4.3 vs ~10 ms at the reference shapes,
 # chamfer_tuning.json) but LOSES inside the full compiled train step —
-# 66.5 vs 56.7 ms/step bf16, 88.0 vs 79.4 fp32 (chamfer_bwd_ab.json,
-# tools/chamfer_bwd_ab.py): XLA overlaps the plane re-touch with conv
-# scheduling but cannot hide the scatter's serialized HBM updates.  So
-# plain AD-through-the-plane is the default and the scatter form is an
+# 61.1 vs 51.6 ms/step bf16, 83.5 vs 75.3 fp32 (chamfer_bwd_ab.json,
+# tools/chamfer_bwd_ab.py, round-5 rerun with per-arm trace-cache
+# clearing): XLA overlaps the plane re-touch with conv scheduling but
+# cannot hide the scatter's serialized HBM updates.  So plain
+# AD-through-the-plane is the default and the scatter form is an
 # opt-in for plane-dominated (geometry-heavy, small-encoder) workloads.
 _SCATTER_BWD = os.environ.get("OBMAN_SCATTER_BWD", "0") == "1"
 
