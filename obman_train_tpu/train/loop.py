@@ -418,6 +418,23 @@ def fit(
             for k in ("auc", "epe_mean", "epe_median"):
                 if k in train_pck:
                     train_dict[k] = train_pck[k]
+            # Log the lr/regul ACTUALLY applied this epoch: the schedule
+            # evaluated at the live optimizer step counter (the count the
+            # epoch's last update used) and the regul_scale the loss was
+            # computed with — not a formula recomputed from the config, so
+            # the convergence artifact can catch schedule-wiring
+            # regressions (round-4 advisor finding).
+            from obman_train_tpu.parallel.mesh import local_shard
+            from obman_train_tpu.train.steps import lr_schedule
+
+            step_count = int(np.asarray(local_shard(state.step)))
+            schedule = lr_schedule(
+                cfg.train, steps_per_epoch=max(len(train_loader), 1)
+            )
+            train_dict["lr"] = float(schedule(max(step_count - 1, 0)))
+            train_dict["regul_scale"] = float(
+                np.asarray(local_shard(state.regul_scale))
+            )
             if monitor:
                 monitor.log_train(epoch + 1, train_dict)
 

@@ -52,18 +52,29 @@ def _freeze_labels(params, train_cfg: TrainConfig) -> Any:
     return flax.traverse_util.unflatten_dict(labels, sep="/")
 
 
+def lr_schedule(train_cfg: TrainConfig, steps_per_epoch: int = 1):
+    """The StepLR schedule ``make_optimizer`` applies, as a callable of
+    the optax update count.  Exposed so the training loop can log the lr
+    ACTUALLY used each epoch (schedule evaluated at the live step counter)
+    rather than a formula recomputed from the config — the convergence
+    artifact asserts against these logged values (docs/convergence/)."""
+    if train_cfg.lr_decay_gamma and train_cfg.lr_decay_gamma != 1.0:
+        return optax.exponential_decay(
+            init_value=train_cfg.lr,
+            transition_steps=train_cfg.lr_decay_step * steps_per_epoch,
+            decay_rate=train_cfg.lr_decay_gamma,
+            staircase=True,
+        )
+    return lambda count: train_cfg.lr
+
+
 def make_optimizer(
     train_cfg: TrainConfig, params=None, steps_per_epoch: int = 1
 ) -> optax.GradientTransformation:
     """adam | rms | sgd with the reference's StepLR schedule
     (traineval.py:113-127, 179-182: per-epoch staircase decay)."""
     if train_cfg.lr_decay_gamma and train_cfg.lr_decay_gamma != 1.0:
-        schedule = optax.exponential_decay(
-            init_value=train_cfg.lr,
-            transition_steps=train_cfg.lr_decay_step * steps_per_epoch,
-            decay_rate=train_cfg.lr_decay_gamma,
-            staircase=True,
-        )
+        schedule = lr_schedule(train_cfg, steps_per_epoch)
     else:
         schedule = train_cfg.lr
 
