@@ -117,28 +117,57 @@ def main(argv=None):
     names, frames = [], []
     n_done, t0 = 0, time.perf_counter()
 
-    def flush():
-        nonlocal n_done
-        if not frames:
-            return
-        import jax.numpy as jnp
+    import jax
 
+    # Constant across batches: move to the device once, not per flush.
+    sides_const = np.full(
+        (args.batch,), 0 if args.hand_side == "right" else 1, np.int32
+    )
+    flips_const = np.zeros((args.batch,), bool)
+
+    def dispatch():
+        """Start a batch on the device and return it in-flight.
+
+        Transfers are batched — ONE ``jax.device_put`` of the input tree
+        and async d2h copies started the moment the infer is dispatched —
+        never per-leaf round trips (each costs a device sync, ~45 ms
+        through a tunneled TPU).  The caller keeps one batch in flight so
+        host-side IO/render for batch N-1 overlaps device compute +
+        transport of batch N; the reference webcam demo is strictly
+        serial and render-bound (webcam_demo.py:100-134, README.md:116).
+        """
+        if not frames:
+            return None
         # Pad the tail batch to keep shapes static.
         pad = args.batch - len(frames)
         stack = np.stack(frames + [frames[-1]] * pad)
-        sides = jnp.full((len(stack),), 0 if args.hand_side == "right" else 1,
-                         np.int32)
-        out = model._infer(
-            model._variables, jnp.asarray(stack), sides,
-            jnp.zeros((len(stack),), bool),
+        dstack, dsides, dflips = jax.device_put(
+            (stack, sides_const, flips_const)
         )
-        out = {k: np.asarray(v) for k, v in out.items()}
+        out = model._infer(model._variables, dstack, dsides, dflips)
+        for v in out.values():
+            if hasattr(v, "copy_to_host_async"):
+                v.copy_to_host_async()
+        batch = (list(names), list(frames), out)
+        names.clear()
+        frames.clear()
+        return batch
+
+    def collect(batch):
+        nonlocal n_done
+        if batch is None:
+            return
+        names, frames, out = batch
+        out = {k: np.asarray(v) for k, v in jax.device_get(out).items()}
         att = None
         if args.attention:
             from obman_train_tpu.demo.attention import attention_overlay
             from obman_train_tpu.demo.preprocess import preprocess_frame
 
-            att = model.attention_maps(stack)
+            pad = args.batch - len(frames)
+            att = model.attention_maps(
+                np.stack(frames + [frames[-1]] * pad)
+            )
         for i, name in enumerate(names):
             blended = None
             if att is not None:
@@ -173,19 +202,26 @@ def main(argv=None):
                     mesh_rgb=panel, attention_rgb=blended,
                 )
         n_done += len(names)
-        names.clear()
-        frames.clear()
 
+    in_flight = None  # one dispatched batch whose host work is deferred
+    quit_early = False
     for name, frame in iter_frames(args):
         names.append(name)
         frames.append(frame)
         if len(frames) == args.batch:
-            flush()
-        if args.max_frames and n_done + len(frames) >= args.max_frames:
-            break
+            prev, in_flight = in_flight, dispatch()
+            collect(prev)  # host work for N-1 overlaps device work for N
         if display is not None and display.quit:
+            quit_early = True  # q stops NOW: drop the in-flight batch
             break
-    flush()
+        if args.max_frames and n_done + len(frames) + (
+            len(in_flight[0]) if in_flight else 0
+        ) >= args.max_frames:
+            break
+    if not quit_early:
+        prev, in_flight = in_flight, dispatch()
+        collect(prev)
+        collect(in_flight)
     if display is not None:
         display.close()
     dt = time.perf_counter() - t0
